@@ -1,0 +1,267 @@
+"""Reusable Flax building blocks shared by all model variants.
+
+Parity targets (reference files under /root/reference):
+  * conv3x3 / upBlock / ResBlock — code/multi-mnist/model.py:9-41
+  * GLU / Block3x3 / downBlock / encode_image_by_16times —
+    code/coco/attngan/model.py:24-64,575-613
+  * weights_init — code/multi-mnist/miscc/utils.py:127-137 (N(0, 0.02) convs,
+    BN weight N(1, 0.02)); attngan uses orthogonal convs/linears
+    (code/coco/attngan/miscc/utils.py:321-331)
+  * BatchNorm — PyTorch BatchNorm2d(momentum=0.1, eps=1e-5): training
+    normalizes with BIASED batch variance, running stats are updated with the
+    UNBIASED variance; eval normalizes with running stats.
+
+All modules are NHWC (TPU-native layout). ``train`` is threaded explicitly;
+BatchNorm state lives in the ``batch_stats`` variable collection. Under a
+sharded-batch ``jit`` the batch statistics are computed over the GLOBAL batch
+(sync-BN) — the TPU-idiomatic choice replacing DataParallel's per-replica BN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+# --- initializers matching the reference's weights_init ---------------------
+
+def normal_init(stddev: float = 0.02):
+    return nn.initializers.normal(stddev=stddev)
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BN weight ~ N(1.0, 0.02) (miscc/utils.py:131-132)."""
+    return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+
+def orthogonal_init():
+    """attngan conv/linear init (miscc/utils.py:323-330)."""
+    return nn.initializers.orthogonal(scale=1.0)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact PyTorch BatchNorm2d semantics.
+
+    * train: y = (x - mean_b) / sqrt(var_b_biased + eps) * w + b
+             running <- (1 - momentum) * running + momentum * stat,
+             with the UNBIASED variance going into running_var.
+    * eval:  normalize with running stats.
+
+    Normalizes over all axes except the last (channel) axis, so it serves as
+    both BatchNorm2d (NHWC) and BatchNorm1d (NC).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    scale_init: Callable = bn_scale_init
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            red = tuple(range(x.ndim - 1))
+            n = 1
+            for ax in red:
+                n *= x.shape[ax]
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, pad 1, no bias (model.py:9-12)."""
+
+    features: int
+    stride: int = 1
+    kernel_init: Callable = normal_init()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                       padding=1, use_bias=False,
+                       kernel_init=self.kernel_init)(x)
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv, no bias (attngan model.py:35-38)."""
+
+    features: int
+    kernel_init: Callable = normal_init()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       kernel_init=self.kernel_init)(x)
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """2x nearest-neighbor upsample (torch nn.Upsample(scale_factor=2))."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class UpBlock(nn.Module):
+    """2x nearest upsample + conv3x3 + BN + ReLU (model.py:16-22)."""
+
+    features: int
+    kernel_init: Callable = normal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = upsample_nearest_2x(x)
+        x = Conv3x3(self.features, kernel_init=self.kernel_init)(x)
+        x = TorchBatchNorm()(x, train)
+        return nn.relu(x)
+
+
+def glu(x: Array) -> Array:
+    """Gated linear unit over the channel axis (attngan model.py:24-32)."""
+    c = x.shape[-1]
+    a, b = x[..., : c // 2], x[..., c // 2:]
+    return a * jax.nn.sigmoid(b)
+
+
+class UpBlockGLU(nn.Module):
+    """attngan upBlock: upsample + conv3x3(2f) + BN + GLU (model.py:48-55)."""
+
+    features: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = upsample_nearest_2x(x)
+        x = Conv3x3(self.features * 2, kernel_init=self.kernel_init)(x)
+        x = TorchBatchNorm()(x, train)
+        return glu(x)
+
+
+class ResBlock(nn.Module):
+    """conv-BN-ReLU-conv-BN + skip, ReLU (model.py:25-41)."""
+
+    features: int
+    kernel_init: Callable = normal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        h = Conv3x3(self.features, kernel_init=self.kernel_init)(x)
+        h = TorchBatchNorm()(h, train)
+        h = nn.relu(h)
+        h = Conv3x3(self.features, kernel_init=self.kernel_init)(h)
+        h = TorchBatchNorm()(h, train)
+        return nn.relu(h + x)
+
+
+class ResBlockGLU(nn.Module):
+    """attngan ResBlock: conv(2f)+BN+GLU, conv(f)+BN, + skip (model.py:67-81).
+    NOTE: no final ReLU, unlike the stage-1 ResBlock."""
+
+    features: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        h = Conv3x3(self.features * 2, kernel_init=self.kernel_init)(x)
+        h = TorchBatchNorm()(h, train)
+        h = glu(h)
+        h = Conv3x3(self.features, kernel_init=self.kernel_init)(h)
+        h = TorchBatchNorm()(h, train)
+        return h + x
+
+
+class Block3x3ReLU(nn.Module):
+    """attngan Block3x3_relu: conv3x3(2f) + BN + GLU (model.py:59-64)."""
+
+    features: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = Conv3x3(self.features * 2, kernel_init=self.kernel_init)(x)
+        x = TorchBatchNorm()(x, train)
+        return glu(x)
+
+
+class Block3x3LeakReLU(nn.Module):
+    """attngan Block3x3_leakRelu: conv3x3 + BN + LeakyReLU(0.2)
+    (model.py:586-593)."""
+
+    features: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = Conv3x3(self.features, kernel_init=self.kernel_init)(x)
+        x = TorchBatchNorm()(x, train)
+        return nn.leaky_relu(x, 0.2)
+
+
+class DownBlock(nn.Module):
+    """attngan downBlock: conv4x4 stride 2 + BN + LeakyReLU (model.py:596-603)."""
+
+    features: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Conv(self.features, (4, 4), strides=(2, 2), padding=1,
+                    use_bias=False, kernel_init=self.kernel_init)(x)
+        x = TorchBatchNorm()(x, train)
+        return nn.leaky_relu(x, 0.2)
+
+
+class EncodeImageBy16Times(nn.Module):
+    """attngan encode_image_by_16times: 4 stride-2 conv4x4 blocks, the first
+    without BN (model.py:606-613 era: conv-lrelu, then 3x conv-BN-lrelu)."""
+
+    ndf: int
+    kernel_init: Callable = orthogonal_init()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=1,
+                    use_bias=False, kernel_init=self.kernel_init)(x)
+        x = nn.leaky_relu(x, 0.2)
+        for mult in (2, 4, 8):
+            x = nn.Conv(self.ndf * mult, (4, 4), strides=(2, 2), padding=1,
+                        use_bias=False, kernel_init=self.kernel_init)(x)
+            x = TorchBatchNorm()(x, train)
+            x = nn.leaky_relu(x, 0.2)
+        return x
+
+
+class Dense(nn.Module):
+    """Linear with reference init; optional bias."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = normal_init()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=self.kernel_init,
+                        bias_init=nn.initializers.zeros)(x)
