@@ -1,0 +1,154 @@
+"""CLI entry point: train / sample for every variant.
+
+Parity target: <variant>/main.py in the reference
+(code/multi-mnist/main.py:27-95): --cfg YAML, --data_dir override,
+--manualSeed; TRAIN.FLAG in the YAML picks train vs sample, and the output
+dir is ../output/{DATASET}_{timestamp} with a source snapshot. attngan adds
+--resume (code/coco/attngan/main.py:25-36).
+
+Usage:
+  python -m multiple_objects_gan_tpu.cli.main --variant multi-mnist \
+      --cfg cfg/mnist_train.yml [--data_dir D] [--output_dir O] \
+      [--manualSeed N] [--max_epochs N] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import random
+import shutil
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="multiple-objects-gan (TPU)")
+    p.add_argument("--variant", required=True,
+                   choices=["multi-mnist", "clevr", "coco-stackgan-1",
+                            "coco-stackgan-2", "coco-attngan"])
+    p.add_argument("--cfg", dest="cfg_file", required=True)
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--manualSeed", type=int, default=None)
+    p.add_argument("--resume", default="",
+                   help="output dir of a previous run to resume from")
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="override TRAIN.MAX_EPOCH (smoke runs)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic dataset when data is absent")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+
+    cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
+                   "coco-stackgan-1": "coco-stackgan",
+                   "coco-stackgan-2": "coco-stackgan",
+                   "coco-attngan": "coco-attngan"}[args.variant]
+    cfg = cfg_from_file(args.cfg_file, cfg_variant)
+    if args.data_dir:
+        cfg.DATA_DIR = args.data_dir
+
+    seed = args.manualSeed
+    if seed is None:
+        seed = random.randint(1, 10000)
+    random.seed(seed)
+    np.random.seed(seed)
+
+    now = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    output_dir = args.output_dir or os.path.join(
+        "output", f"{cfg.DATASET_NAME}_{now}")
+    os.makedirs(output_dir, exist_ok=True)
+    # source snapshot (main.py:71-76)
+    shutil.copyfile(args.cfg_file,
+                    os.path.join(output_dir, os.path.basename(args.cfg_file)))
+
+    if args.variant == "multi-mnist":
+        run_mnist(args, cfg, output_dir, seed)
+    elif args.variant == "clevr":
+        run_clevr(args, cfg, output_dir, seed)
+    elif args.variant in ("coco-stackgan-1", "coco-stackgan-2"):
+        run_stackgan(args, cfg, output_dir, seed)
+    else:
+        run_attngan(args, cfg, output_dir, seed)
+
+
+def _stage1_modules(cfg, variant):
+    from multiple_objects_gan_tpu.config.config import stage1_model_config
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    mcfg = stage1_model_config(cfg, variant)
+    return mcfg, Stage1G(mcfg), Stage1D(mcfg)
+
+
+def run_mnist(args, cfg, output_dir, seed):
+    from multiple_objects_gan_tpu.data.datasets import (
+        Loader, MultiMnistDataset, write_synthetic_multimnist)
+    from multiple_objects_gan_tpu.train.loop import train
+
+    mcfg, g, d = _stage1_modules(cfg, "multi-mnist")
+    if cfg.TRAIN.FLAG:
+        split_dir = os.path.join(cfg.DATA_DIR, "train", "normal")
+        if not os.path.isdir(split_dir):
+            if not args.synthetic:
+                sys.exit(f"dataset not found at {split_dir} "
+                         "(pass --synthetic to generate one)")
+            write_synthetic_multimnist(cfg.DATA_DIR, n=512, split="train",
+                                       seed=seed)
+        ds = MultiMnistDataset(cfg.DATA_DIR, split="train")
+        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
+                        seed=seed)
+        train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
+              max_epochs=args.max_epochs)
+    else:
+        from multiple_objects_gan_tpu.cli.sample import sample_stage1
+        sample_stage1(args, cfg, mcfg, g, output_dir, "multi-mnist", seed)
+
+
+def run_clevr(args, cfg, output_dir, seed):
+    from multiple_objects_gan_tpu.data.datasets import ClevrDataset, Loader
+    from multiple_objects_gan_tpu.train.loop import train
+
+    mcfg, g, d = _stage1_modules(cfg, "clevr")
+    if cfg.TRAIN.FLAG:
+        ds = ClevrDataset(cfg.DATA_DIR, split="train",
+                          imsize=int(cfg.IMSIZE), seed=seed)
+        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
+                        seed=seed)
+        train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
+              max_epochs=args.max_epochs)
+    else:
+        from multiple_objects_gan_tpu.cli.sample import sample_stage1
+        sample_stage1(args, cfg, mcfg, g, output_dir, "clevr", seed)
+
+
+def run_stackgan(args, cfg, output_dir, seed):
+    stage = int(cfg.STAGE)
+    if stage == 1:
+        from multiple_objects_gan_tpu.data.coco import CocoStackganDataset
+        from multiple_objects_gan_tpu.data.datasets import Loader
+        from multiple_objects_gan_tpu.train.loop import train
+        mcfg, g, d = _stage1_modules(cfg, "coco-stackgan")
+        ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
+                                 stage=1, imsize=int(cfg.IMSIZE))
+        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
+                        seed=seed)
+        train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
+              max_epochs=args.max_epochs)
+    else:
+        from multiple_objects_gan_tpu.cli.stage2_runner import run_stage2
+        run_stage2(args, cfg, output_dir, seed)
+
+
+def run_attngan(args, cfg, output_dir, seed):
+    from multiple_objects_gan_tpu.cli.attngan_runner import run as run_a
+    run_a(args, cfg, output_dir, seed)
+
+
+if __name__ == "__main__":
+    main()

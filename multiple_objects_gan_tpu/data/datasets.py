@@ -1,0 +1,199 @@
+"""Dataset adapters: on-disk formats identical to the reference's pipelines.
+
+Parity targets:
+  * Multi-MNIST TextDataset — code/multi-mnist/miscc/datasets.py:25-86:
+    <data_dir>/<split>/normal/{filenames,bboxes,labels}.pickle + imgs/*.png;
+    labels.pickle already stores per-object ONE-HOT vectors (3, 10) — the
+    trainer consumes them directly (trainer.py:122).
+  * CLEVR TextDataset — code/clevr/miscc/datasets.py:44-145:
+    <data_dir>/<split>/images/*.png + scenes/*.json; bboxes normalized by
+    image size, padded with -1 to 4 objects; shape(4)+color(9) one-hots via
+    scatter; random h-flip mirrors bbox x (x' = 1 - x - w).
+  * Images: PIL load, ToTensor + Normalize(0.5) -> [-1, 1]
+    (code/multi-mnist/main.py:80-82).
+
+The loader is a simple shuffled, drop-last, background-thread-prefetched
+batcher (replacing torch DataLoader worker processes); batches are numpy
+dicts ready for `shard_batch`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+CLEVR_SHAPES = {"cube": 0, "cylinder": 1, "sphere": 2}
+CLEVR_COLORS = {"gray": 0, "red": 1, "blue": 2, "green": 3, "brown": 4,
+                "purple": 5, "cyan": 6, "yellow": 7}
+
+
+def _load_image(path: str, channels: int) -> np.ndarray:
+    img = Image.open(path)
+    img = img.convert("L" if channels == 1 else "RGB")
+    arr = np.asarray(img, np.float32) / 255.0
+    if channels == 1:
+        arr = arr[..., None]
+    return arr * 2.0 - 1.0  # Normalize(0.5, 0.5)
+
+
+class MultiMnistDataset:
+    """Multi-MNIST pickles + image dir (reference format)."""
+
+    max_objects = 3
+    label_dim = 10
+    channels = 1
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 variant: str = "normal"):
+        self.split_dir = os.path.join(data_dir, split, variant)
+        self.img_dir = os.path.join(self.split_dir, "imgs")
+        with open(os.path.join(self.split_dir, "filenames.pickle"), "rb") as f:
+            self.filenames = pickle.load(f)
+        with open(os.path.join(self.split_dir, "bboxes.pickle"), "rb") as f:
+            self.bboxes = np.array(pickle.load(f), dtype=np.float32)
+        with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
+            self.labels = np.array(pickle.load(f), dtype=np.float32)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> dict:
+        key = str(self.filenames[idx]).split("/")[-1]
+        img = _load_image(os.path.join(self.img_dir, key), self.channels)
+        return {"image": img,
+                "bbox": self.bboxes[idx].astype(np.float32),
+                "label_onehot": self.labels[idx].astype(np.float32)}
+
+
+class ClevrDataset:
+    """CLEVR images + scenes/*.json (reference format)."""
+
+    max_objects = 4
+    label_dim = 13  # 4 shapes (incl. pad slot semantics) + 9 colors
+    channels = 3
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 imsize: int = 64, hflip: bool = True, seed: int = 0):
+        self.img_dir = os.path.join(data_dir, split, "images")
+        scene_dir = os.path.join(data_dir, split, "scenes")
+        self.imsize = imsize
+        self.hflip = hflip
+        self._rng = np.random.RandomState(seed)
+        self.scenes = sorted(
+            os.path.join(scene_dir, f) for f in os.listdir(scene_dir)
+            if f.endswith(".json"))
+
+    def __len__(self) -> int:
+        return len(self.scenes)
+
+    def __getitem__(self, idx: int) -> dict:
+        with open(self.scenes[idx]) as f:
+            scene = json.load(f)
+        img = _load_image(
+            os.path.join(self.img_dir, scene["image_filename"]), 3)
+        h, w = img.shape[:2]
+        bbox = np.full((self.max_objects, 4), -1.0, np.float32)
+        label = np.zeros((self.max_objects, self.label_dim), np.float32)
+        for i, obj in enumerate(scene["objects"][: self.max_objects]):
+            x, y, bw, bh = obj["bbox"]
+            bbox[i] = [x / w, y / h, bw / w, bh / h]
+            label[i, CLEVR_SHAPES[obj["shape"]]] = 1.0
+            label[i, 4 + CLEVR_COLORS[obj["color"]]] = 1.0
+        if self.hflip and self._rng.rand() < 0.5:
+            img = img[:, ::-1].copy()
+            valid = bbox[:, 0] >= 0
+            bbox[valid, 0] = 1.0 - bbox[valid, 0] - bbox[valid, 2]
+        if img.shape[0] != self.imsize:
+            im = Image.fromarray(
+                ((img + 1.0) * 127.5).astype(np.uint8)).resize(
+                    (self.imsize, self.imsize), Image.BILINEAR)
+            img = np.asarray(im, np.float32) / 127.5 - 1.0
+        return {"image": img, "bbox": bbox, "label_onehot": label}
+
+
+class Loader:
+    """Shuffled, drop-last, thread-prefetched batcher."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2,
+                 extra_keys: Optional[dict] = None):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.ds) // self.bs
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for b in range(n_batches):
+                idxs = order[b * self.bs:(b + 1) * self.bs]
+                items = [self.ds[int(i)] for i in idxs]
+                batch = {k: np.stack([it[k] for it in items])
+                         for k in items[0]}
+                q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+
+
+def write_synthetic_multimnist(data_dir: str, n: int = 256,
+                               split: str = "train", seed: int = 0,
+                               imsize: int = 64) -> None:
+    """Create a tiny Multi-MNIST-format dataset on disk (digit-like blobs)
+    so the real IO path can be exercised without the original data."""
+    rng = np.random.RandomState(seed)
+    split_dir = os.path.join(data_dir, split, "normal")
+    img_dir = os.path.join(split_dir, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    filenames, bboxes, labels = [], [], []
+    for i in range(n):
+        img = np.zeros((imsize, imsize), np.uint8)
+        bbs, labs = [], []
+        for j in range(3):
+            d = rng.randint(10)
+            w = h = rng.uniform(0.2, 0.3)
+            x = rng.uniform(0.0, 1.0 - w)
+            y = rng.uniform(0.0, 1.0 - h)
+            x0, y0 = int(x * imsize), int(y * imsize)
+            x1, y1 = int((x + w) * imsize), int((y + h) * imsize)
+            # digit-dependent pattern so labels are learnable
+            patch = ((np.indices((y1 - y0, x1 - x0)).sum(0) + d) % 3 == 0)
+            img[y0:y1, x0:x1] = np.maximum(img[y0:y1, x0:x1],
+                                           patch.astype(np.uint8) * 255)
+            bbs.append([x, y, w, h])
+            onehot = np.zeros(10, np.float32)
+            onehot[d] = 1.0
+            labs.append(onehot)
+        name = f"synthetic_{i:05d}.png"
+        Image.fromarray(img, mode="L").save(os.path.join(img_dir, name))
+        filenames.append(name)
+        bboxes.append(bbs)
+        labels.append(labs)
+    with open(os.path.join(split_dir, "filenames.pickle"), "wb") as f:
+        pickle.dump(filenames, f)
+    with open(os.path.join(split_dir, "bboxes.pickle"), "wb") as f:
+        pickle.dump(np.asarray(bboxes, np.float32), f)
+    with open(os.path.join(split_dir, "labels.pickle"), "wb") as f:
+        pickle.dump(np.asarray(labels, np.float32), f)

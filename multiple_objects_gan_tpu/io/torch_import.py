@@ -1,0 +1,136 @@
+"""PyTorch .pth checkpoint importer (reference -> this framework).
+
+The reference publishes trained models (README.md:49-54) saved as
+``{'epoch', 'netG', 'optimG', 'netD', 'optimD'}`` dicts of state_dicts
+(code/multi-mnist/miscc/utils.py:160-174). This module maps those
+state_dict keys onto our Flax param/batch_stats trees so sampling from a
+ported checkpoint reproduces reference outputs.
+
+Conventions handled:
+  * Conv2d weight OIHW -> HWIO transpose; Linear weight (out, in) -> (in, out)
+  * BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats
+  * the reference mnist G's dead ``label`` module (model.py:137-140, unused
+    in forward) is skipped
+  * torch Sequential integer indices -> our named submodules
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def _conv(sd, key):
+    return np.transpose(np.asarray(sd[key], np.float32), (2, 3, 1, 0))
+
+
+def _linear(sd, key):
+    return np.transpose(np.asarray(sd[key], np.float32), (1, 0))
+
+
+def _bn(sd, prefix):
+    """-> (params {scale, bias}, stats {mean, var})"""
+    p = {"scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+         "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+    s = {"mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
+         "var": np.asarray(sd[f"{prefix}.running_var"], np.float32)}
+    return p, s
+
+
+def _upblock(sd, prefix):
+    """torch upBlock Sequential: [Upsample, conv3x3, BN, ReLU] ->
+    {Conv3x3_0: {Conv_0}, TorchBatchNorm_0} params + stats."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.2")
+    params = {"Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.1.weight")}},
+              "TorchBatchNorm_0": bn_p}
+    stats = {"TorchBatchNorm_0": bn_s}
+    return params, stats
+
+
+def import_stage1_g(checkpoint: dict, mcfg) -> tuple[dict, dict]:
+    """Map a reference STAGE1_G state_dict -> (params, batch_stats).
+
+    Source key layout: code/multi-mnist/model.py:113-157 (same skeleton for
+    clevr/stackgan with extra label/ca_net modules).
+    """
+    sd = checkpoint["netG"] if "netG" in checkpoint else checkpoint
+    sd = {k: v for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    # global fc: Sequential [Linear, BN1d, ReLU]
+    params["fc"] = {"Dense_0": {"kernel": _linear(sd, "fc.0.weight")}}
+    bn_p, bn_s = _bn(sd, "fc.1")
+    params["fc_bn"] = bn_p
+    stats["fc_bn"] = bn_s
+
+    # object pathway: local1 + local2 upBlocks under ObjectPathwayG "local"
+    l1_p, l1_s = _upblock(sd, "local1")
+    l2_p, l2_s = _upblock(sd, "local2")
+    params["local"] = {"UpBlock_0": l1_p, "UpBlock_1": l2_p}
+    stats["local"] = {"UpBlock_0": l1_s, "UpBlock_1": l2_s}
+
+    # global upsample blocks
+    for i in range(1, 5):
+        p, s = _upblock(sd, f"upsample{i}")
+        params[f"upsample{i}"] = p
+        stats[f"upsample{i}"] = s
+
+    # output conv: Sequential [conv3x3, Tanh]
+    params["img"] = {"Conv_0": {"kernel": _conv(sd, "img.0.weight")}}
+
+    # layout encoder: Sequential encode = [conv, LReLU, conv, BN, LReLU,
+    #                                      conv, BN, LReLU]
+    if mcfg.use_bbox_layout and "bbox_net.encode.0.weight" in sd:
+        bn1_p, bn1_s = _bn(sd, "bbox_net.encode.3")
+        bn2_p, bn2_s = _bn(sd, "bbox_net.encode.6")
+        params["bbox_net"] = {
+            "Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, "bbox_net.encode.0.weight")}},
+            "Conv3x3_1": {"Conv_0": {"kernel": _conv(sd, "bbox_net.encode.2.weight")}},
+            "Conv3x3_2": {"Conv_0": {"kernel": _conv(sd, "bbox_net.encode.5.weight")}},
+            "TorchBatchNorm_0": bn1_p,
+            "TorchBatchNorm_1": bn2_p,
+        }
+        stats["bbox_net"] = {"TorchBatchNorm_0": bn1_s,
+                             "TorchBatchNorm_1": bn2_s}
+
+    # learned label embedding (clevr/stackgan; dead in mnist -> skipped)
+    if mcfg.use_label_embed and "label.0.weight" in sd:
+        bn_p, bn_s = _bn(sd, "label.1")
+        params["label"] = {"Dense_0": {"Dense_0": {"kernel": _linear(sd, "label.0.weight")}},
+                           "TorchBatchNorm_0": bn_p}
+        stats["label"] = {"TorchBatchNorm_0": bn_s}
+
+    # CA net (stackgan)
+    if mcfg.use_ca and "ca_net.fc.weight" in sd:
+        params["ca_net"] = {"Dense_0": {"Dense_0": {
+            "kernel": _linear(sd, "ca_net.fc.weight"),
+            "bias": np.asarray(sd["ca_net.fc.bias"], np.float32)}}}
+
+    return params, stats
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for top_k, top_v in ckpt.items():
+        if hasattr(top_v, "items"):
+            out[top_k] = {k: v.numpy() if hasattr(v, "numpy") else v
+                          for k, v in top_v.items()}
+        else:
+            out[top_k] = top_v
+    return out
+
+
+def maybe_load_reference_g(net_g_path: str, mcfg, state):
+    """If NET_G points at a reference .pth, import G weights into state."""
+    if not net_g_path or not os.path.exists(net_g_path):
+        return None
+    ckpt = load_torch_checkpoint(net_g_path)
+    params, stats = import_stage1_g(ckpt, mcfg)
+    merged_params = {**state.g_params, **params}
+    merged_stats = {**state.g_stats, **stats}
+    return state.replace(g_params=merged_params, g_stats=merged_stats)

@@ -5,6 +5,7 @@ from multiple_objects_gan_tpu.ops.stn import (
     stn_extract,
     stn_extract_multi,
     stn_place,
+    stn_place_const_multi,
     stn_place_multi,
     stn_separable,
     transformation_matrix,
@@ -18,6 +19,7 @@ __all__ = [
     "stn_extract",
     "stn_extract_multi",
     "stn_place",
+    "stn_place_const_multi",
     "stn_place_multi",
     "stn_separable",
     "transformation_matrix",

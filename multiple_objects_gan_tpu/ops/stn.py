@@ -143,6 +143,34 @@ def stn_place_multi(features: Array, bbox: Array, out_hw: tuple[int, int]) -> Ar
     return placed.reshape((b, o) + placed.shape[1:]).sum(axis=1)
 
 
+def stn_place_const_multi(labels: Array, bbox: Array,
+                          out_hw: tuple[int, int]) -> Array:
+    """Paste spatially-constant label vectors into their bboxes and sum.
+
+    labels: (B, O, C), bbox: (B, O, 4) -> (B, Ho, Wo, C).
+
+    Replaces the reference BBOX_NET inner loop (model.py:99-110): tile the
+    label to a constant map, STN-place it, accumulate. For a constant map the
+    bilinear result factorizes into an outer product of the 1-D weight row
+    sums, so no resampling matmul is needed at all:
+
+        placed[i, j, c] = label[c] * sum_p Wy[i, p] * sum_q Wx[j, q]
+    """
+    b, o, c = labels.shape
+    ho, wo = out_hw
+    theta = transformation_matrix_inverse(bbox.reshape(b * o, 4))
+    dt = jnp.float32
+    # in_size=16 matches the reference's 16x16 tiled constant map; any size
+    # >= 2 gives the same mask interior, and 16 keeps border weights identical.
+    wy = _axis_weights(theta[:, 1, 1].astype(dt), theta[:, 1, 2].astype(dt), ho, 16)
+    wx = _axis_weights(theta[:, 0, 0].astype(dt), theta[:, 0, 2].astype(dt), wo, 16)
+    mask = wy.sum(-1)[:, :, None] * wx.sum(-1)[:, None, :]  # (B*O, Ho, Wo)
+    mask = mask.reshape(b, o, ho, wo)
+    out = jnp.einsum("bohw,boc->bhwc", mask, labels.astype(dt),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(labels.dtype)
+
+
 def stn_extract_multi(image: Array, bbox: Array, out_hw: tuple[int, int]) -> Array:
     """Extract all O bbox regions of (B, H, W, C) -> (B, O, Ho, Wo, C)."""
     b, o = bbox.shape[:2]

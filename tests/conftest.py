@@ -6,7 +6,9 @@ recipe for testing pmap/pjit sharding without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env sets JAX_PLATFORMS=axon (tunneled TPU); tests
+# must run on the virtual 8-device CPU mesh for speed and f32 determinism.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

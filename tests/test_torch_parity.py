@@ -1,0 +1,155 @@
+"""End-to-end numerical parity vs a faithful torch replica of the reference.
+
+Strategy: the reference is Python-2/torch-0.4 and cannot run here, so we
+rebuild its mnist STAGE1_G (code/multi-mnist/model.py:113-190) in modern
+torch with identical structure and state_dict key names (align_corners=True
+matches the 0.4-era grid semantics). Random-init it, export the state_dict,
+import through io/torch_import, and require the Flax model to reproduce the
+torch forward in eval mode. This validates the model math, the NHWC
+translation, AND the checkpoint importer in one shot.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from multiple_objects_gan_tpu.io.torch_import import import_stage1_g  # noqa: E402
+from multiple_objects_gan_tpu.models import common  # noqa: E402
+from multiple_objects_gan_tpu.models.stage1 import Stage1G  # noqa: E402
+from multiple_objects_gan_tpu.ops import (  # noqa: E402
+    transformation_matrix_inverse,
+)
+
+MCFG = dataclasses.replace(common.MNIST, gf_dim=8)  # ngf = 64; same structure
+NGF = MCFG.ngf
+
+
+def conv3x3_t(i, o, stride=1):
+    return tnn.Conv2d(i, o, 3, stride, 1, bias=False)
+
+
+def up_block_t(i, o):
+    return tnn.Sequential(tnn.Upsample(scale_factor=2, mode="nearest"),
+                          conv3x3_t(i, o), tnn.BatchNorm2d(o),
+                          tnn.ReLU(True))
+
+
+def stn_t(image, theta, size):
+    grid = F.affine_grid(theta, torch.Size(size), align_corners=True)
+    return F.grid_sample(image, grid, align_corners=True,
+                         padding_mode="zeros")
+
+
+class Stage1GTorch(tnn.Module):
+    """Replica of code/multi-mnist/model.py:113-190 (mnist: raw one-hots,
+    dead `label` module omitted, BBOX_NET input ch = 10)."""
+
+    def __init__(self):
+        super().__init__()
+        ngf, ef, zdim = NGF, 10, MCFG.z_dim
+        cdim = 128
+        self.bbox_net = tnn.Module()
+        self.bbox_net.encode = tnn.Sequential(
+            conv3x3_t(10, cdim // 2, 2), tnn.LeakyReLU(0.2, True),
+            conv3x3_t(cdim // 2, cdim // 4, 2), tnn.BatchNorm2d(cdim // 4),
+            tnn.LeakyReLU(0.2, True),
+            conv3x3_t(cdim // 4, cdim // 8, 2), tnn.BatchNorm2d(cdim // 8),
+            tnn.LeakyReLU(0.2, True))
+        self.fc = tnn.Sequential(
+            tnn.Linear(zdim + 64, ngf * 4 * 4, bias=False),
+            tnn.BatchNorm1d(ngf * 4 * 4), tnn.ReLU(True))
+        self.local1 = up_block_t(ef, ngf // 2)
+        self.local2 = up_block_t(ngf // 2, ngf // 4)
+        self.upsample1 = up_block_t(ngf, ngf // 2)
+        self.upsample2 = up_block_t(ngf // 2, ngf // 4)
+        self.upsample3 = up_block_t(ngf // 2, ngf // 8)
+        self.upsample4 = up_block_t(ngf // 8, ngf // 16)
+        self.img = tnn.Sequential(conv3x3_t(ngf // 16, 1), tnn.Tanh())
+
+    def forward(self, noise, t_inv, onehot):
+        b = noise.shape[0]
+        locals_sum = torch.zeros(b, NGF // 4, 16, 16)
+        for idx in range(3):
+            lab = onehot[:, idx].view(b, 10, 1, 1).repeat(1, 1, 4, 4)
+            h = self.local2(self.local1(lab))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx], h.shape)
+        layout = torch.zeros(b, 10, 16, 16)
+        for idx in range(3):
+            lab = onehot[:, idx].view(b, 10, 1, 1).repeat(1, 1, 16, 16)
+            layout = layout + stn_t(lab, t_inv[:, idx], lab.shape)
+        bbox_code = self.bbox_net.encode(layout).view(b, -1)
+        h = self.fc(torch.cat([noise, bbox_code], 1)).view(b, NGF, 4, 4)
+        h = self.upsample2(self.upsample1(h))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.upsample4(self.upsample3(h))
+        return self.img(h)
+
+
+def _randomize(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for p in module.parameters():
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    for m in module.modules():
+        if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.1)
+                m.running_var.copy_(
+                    1.0 + 0.2 * torch.rand(m.running_var.shape, generator=g))
+                m.weight.copy_(1.0 + 0.05 * torch.randn(m.weight.shape,
+                                                        generator=g))
+                m.bias.copy_(0.05 * torch.randn(m.bias.shape, generator=g))
+    return module
+
+
+def test_mnist_g_forward_parity_with_torch_replica():
+    tg = _randomize(Stage1GTorch(), seed=3)
+    tg.eval()
+
+    rng = np.random.RandomState(0)
+    b = 3
+    z = rng.randn(b, MCFG.z_dim).astype(np.float32)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3))], axis=-1).astype(np.float32)
+    onehot = np.zeros((b, 3, 10), np.float32)
+    onehot[:, :, [1, 4, 7]] = np.eye(3)[None] @ np.eye(3)[None] * 0  # zero
+    for i in range(b):
+        for j in range(3):
+            onehot[i, j, rng.randint(10)] = 1.0
+
+    theta = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want = tg(torch.from_numpy(z), torch.from_numpy(theta),
+                  torch.from_numpy(onehot)).numpy()
+
+    # export with reference key names and import into flax
+    sd = {k: v.numpy() for k, v in tg.state_dict().items()}
+    params, stats = import_stage1_g({"netG": sd}, MCFG)
+
+    g = Stage1G(MCFG)
+    # init to get the full structure, then overwrite with imported weights
+    variables = g.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                       jnp.asarray(bbox), jnp.asarray(onehot), None,
+                       train=False, ca_rng=None)
+    got_tree = jax.tree.structure({"p": variables["params"],
+                                   "s": variables["batch_stats"]})
+    want_tree = jax.tree.structure({"p": params, "s": stats})
+    assert got_tree == want_tree, (
+        f"importer key mismatch:\n{got_tree}\nvs\n{want_tree}")
+
+    out = g.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(z), jnp.asarray(bbox), jnp.asarray(onehot),
+                  None, train=False, ca_rng=None)
+    got = np.asarray(out["img"]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4)
