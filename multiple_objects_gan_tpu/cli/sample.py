@@ -55,6 +55,9 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
         loaded = maybe_load_reference_g(cfg.get("NET_G", ""), mcfg, state)
         if loaded is not None:
             state = loaded
+        else:
+            print(f"WARNING: NET_G={cfg.get('NET_G', '')!r} not found — "
+                  "sampling from randomly initialized weights", flush=True)
     sample_fn = make_sample_fn(mcfg, g_module)
 
     datapath = os.path.join(cfg.DATA_DIR, "test")
