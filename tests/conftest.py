@@ -1,14 +1,13 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes. This mirrors the standard JAX
-recipe for testing pmap/pjit sharding without TPU hardware.
+NOTE: this environment preimports jax via sitecustomize, so JAX_PLATFORMS
+set here is too late — use jax.config.update instead. XLA_FLAGS is read at
+(lazy) backend init, so setting it here still works as long as no test ran
+a computation first.
 """
 
 import os
 
-# Force CPU: the session env sets JAX_PLATFORMS=axon (tunneled TPU); tests
-# must run on the virtual 8-device CPU mesh for speed and f32 determinism.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} "
+    f"on {jax.default_backend()}")
