@@ -39,6 +39,8 @@ def parse_args(argv=None):
                    help="override TRAIN.MAX_EPOCH (smoke runs)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset when data is absent")
+    p.add_argument("--profile", default="",
+                   help="directory for a jax.profiler trace of steps 2-5")
     return p.parse_args(argv)
 
 
@@ -104,7 +106,8 @@ def run_mnist(args, cfg, output_dir, seed):
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
-              max_epochs=args.max_epochs)
+              max_epochs=args.max_epochs,
+              profile_dir=args.profile or None)
     else:
         from multiple_objects_gan_tpu.cli.sample import sample_stage1
         sample_stage1(args, cfg, mcfg, g, output_dir, "multi-mnist", seed)
@@ -116,12 +119,21 @@ def run_clevr(args, cfg, output_dir, seed):
 
     mcfg, g, d = _stage1_modules(cfg, "clevr")
     if cfg.TRAIN.FLAG:
+        if not os.path.isdir(os.path.join(cfg.DATA_DIR, "train", "scenes")):
+            if not args.synthetic:
+                sys.exit(f"CLEVR data not found under {cfg.DATA_DIR} "
+                         "(pass --synthetic to generate one)")
+            from multiple_objects_gan_tpu.data.datasets import (
+                write_synthetic_clevr)
+            write_synthetic_clevr(cfg.DATA_DIR, n=256, split="train",
+                                  seed=seed)
         ds = ClevrDataset(cfg.DATA_DIR, split="train",
                           imsize=int(cfg.IMSIZE), seed=seed)
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
-              max_epochs=args.max_epochs)
+              max_epochs=args.max_epochs,
+              profile_dir=args.profile or None)
     else:
         from multiple_objects_gan_tpu.cli.sample import sample_stage1
         sample_stage1(args, cfg, mcfg, g, output_dir, "clevr", seed)
@@ -134,18 +146,32 @@ def run_stackgan(args, cfg, output_dir, seed):
         from multiple_objects_gan_tpu.data.datasets import Loader
         from multiple_objects_gan_tpu.train.loop import train
         mcfg, g, d = _stage1_modules(cfg, "coco-stackgan")
+        if not os.path.isfile(os.path.join(cfg.DATA_DIR, "train",
+                                           "filenames.pickle")):
+            if not args.synthetic:
+                sys.exit(f"COCO data not found under {cfg.DATA_DIR} "
+                         "(pass --synthetic to generate one)")
+            from multiple_objects_gan_tpu.data.coco import (
+                write_synthetic_coco)
+            write_synthetic_coco(cfg.DATA_DIR, cfg.IMG_DIR, n=64, seed=seed)
         ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                                  stage=1, imsize=int(cfg.IMSIZE))
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
-              max_epochs=args.max_epochs)
+              max_epochs=args.max_epochs,
+              profile_dir=args.profile or None)
     else:
         from multiple_objects_gan_tpu.cli.stage2_runner import run_stage2
         run_stage2(args, cfg, output_dir, seed)
 
 
 def run_attngan(args, cfg, output_dir, seed):
+    if args.synthetic and not os.path.isfile(
+            os.path.join(cfg.DATA_DIR, "train", "filenames.pickle")):
+        from multiple_objects_gan_tpu.data.attngan import (
+            write_synthetic_attngan)
+        write_synthetic_attngan(cfg.DATA_DIR, cfg.IMG_DIR, n=32, seed=seed)
     from multiple_objects_gan_tpu.cli.attngan_runner import run as run_a
     run_a(args, cfg, output_dir, seed)
 

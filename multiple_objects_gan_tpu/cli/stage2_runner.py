@@ -57,9 +57,8 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
     s1_vars = {"params": s1_state.g_params, "batch_stats": s1_state.g_stats}
 
     if not cfg.TRAIN.FLAG:
-        raise NotImplementedError(
-            "stage-2 sampling path: use sample.sh coco-stackgan-2 after "
-            "training; quantitative eval arrives with the eval harness")
+        return sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2,
+                             s1_vars, output_dir, seed)
 
     kl_coeff = float(cfg.TRAIN.COEFF.KL)
     step_fn = jax.jit(make_stage2_train_step(s2_cfg, s1_cfg, g1, g2, d2,
@@ -108,3 +107,84 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
     ckpt.close()
     writer.close()
     return state
+
+
+def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
+                  output_dir: str, seed: int, num_samples: int = 25):
+    """Qualitative 256px grids (parity: stackgan trainer.py sample path;
+    the reference reads captions from val_captions.t7 — we read the test
+    split's embedding pickles, same content, no torch-lua dependency).
+
+    Weight sources for NET_G:
+      * reference .pth  -> io/torch_import.import_stage2_g (incl. the
+        wrapped frozen STAGE1_G)
+      * an output dir of our own training -> orbax restore
+    """
+    import dataclasses
+
+    from multiple_objects_gan_tpu.data.coco import CocoStackganDataset
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.io.torch_import import (
+        import_stage2_g, load_torch_checkpoint)
+    from multiple_objects_gan_tpu.train.step import create_state_stage2
+    from multiple_objects_gan_tpu.utils.images import (
+        draw_bboxes, save_grid, to_uint8)
+    from PIL import Image
+
+    rng = jax.random.PRNGKey(seed)
+    state = create_state_stage2(s2_cfg, g2, d2, rng, batch_size=2)
+    net_g = cfg.get("NET_G", "")
+    if net_g and os.path.isfile(net_g):
+        ckpt = load_torch_checkpoint(net_g)
+        s1_import, (p2, s2stats) = import_stage2_g(ckpt, s1_cfg, s2_cfg,
+                                                   r_num=r_num)
+        if s1_import is not None:
+            s1_vars = {"params": {**s1_vars["params"], **s1_import[0]},
+                       "batch_stats": {**s1_vars["batch_stats"],
+                                       **s1_import[1]}}
+        state = state.replace(g_params={**state.g_params, **p2},
+                              g_stats={**state.g_stats, **s2stats})
+    elif net_g and os.path.isdir(net_g):
+        mgr = CheckpointManager(os.path.join(net_g, "models"))
+        if mgr.latest_epoch() is not None:
+            state, _ = mgr.restore(state)
+    else:
+        print(f"WARNING: NET_G={net_g!r} not found — sampling from random "
+              "stage-2 weights", flush=True)
+
+    ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="test",
+                             stage=2, imsize=int(cfg.IMSIZE), seed=seed)
+
+    @jax.jit
+    def gen(z, bbox_s1, bbox_s2, labels, text, ca_rng):
+        s1_out = g1.apply(s1_vars, z, bbox_s1, labels, text, train=False,
+                          ca_rng=ca_rng)
+        out = g2.apply({"params": state.g_params,
+                        "batch_stats": state.g_stats},
+                       s1_out["img"], bbox_s1, bbox_s2, labels, text,
+                       train=False, ca_rng=ca_rng)
+        return s1_out["img"], out["img"]
+
+    out_dir = os.path.join(output_dir, "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    rnd = np.random.RandomState(seed)
+    n_var = 4
+    for s in range(num_samples):
+        item = ds[rnd.randint(len(ds))]
+        bbox_s1 = jnp.tile(jnp.asarray(item["bbox"])[None], (n_var, 1, 1))
+        bbox_s2 = jnp.tile(jnp.asarray(item["bbox_s2"])[None], (n_var, 1, 1))
+        labels = jnp.tile(jnp.asarray(item["label_onehot"])[None],
+                          (n_var, 1, 1))
+        text = jnp.tile(jnp.asarray(item["text_embedding"])[None],
+                        (n_var, 1))
+        z = jax.random.normal(jax.random.fold_in(rng, s),
+                              (n_var, s1_cfg.z_dim))
+        _, fakes = gen(z, bbox_s1, bbox_s2, labels, text, None)
+        tiles = [draw_bboxes(to_uint8(f), item["bbox_s2"])
+                 for f in np.asarray(fakes)]
+        real = to_uint8(item["image"])
+        grid = np.stack([real / 127.5 - 1.0]
+                        + [t / 127.5 - 1.0 for t in tiles])
+        save_grid(grid, os.path.join(out_dir, f"sample_{s:03d}.png"), nrow=5)
+    print(f"wrote {num_samples} stage-2 sample grids to {out_dir}")
+    return out_dir

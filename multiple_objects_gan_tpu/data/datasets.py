@@ -71,6 +71,18 @@ class MultiMnistDataset:
                 "bbox": self.bboxes[idx].astype(np.float32),
                 "label_onehot": self.labels[idx].astype(np.float32)}
 
+    def get_batch(self, idxs, imsize: int = 64, threads: int = 8) -> dict:
+        """Batched fast path: native C++ threaded decode (data/native_loader)."""
+        from multiple_objects_gan_tpu.data.native_loader import decode_batch
+        paths = [os.path.join(self.img_dir,
+                              str(self.filenames[i]).split("/")[-1])
+                 for i in idxs]
+        imgs = decode_batch(paths, imsize, imsize, self.channels,
+                            threads=threads)
+        return {"image": imgs,
+                "bbox": self.bboxes[idxs].astype(np.float32),
+                "label_onehot": self.labels[idxs].astype(np.float32)}
+
 
 class ClevrDataset:
     """CLEVR images + scenes/*.json (reference format)."""
@@ -140,12 +152,17 @@ class Loader:
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
+        get_batch = getattr(self.ds, "get_batch", None)
+
         def worker():
             for b in range(n_batches):
                 idxs = order[b * self.bs:(b + 1) * self.bs]
-                items = [self.ds[int(i)] for i in idxs]
-                batch = {k: np.stack([it[k] for it in items])
-                         for k in items[0]}
+                if get_batch is not None:
+                    batch = get_batch(idxs)
+                else:
+                    items = [self.ds[int(i)] for i in idxs]
+                    batch = {k: np.stack([it[k] for it in items])
+                             for k in items[0]}
                 q.put(batch)
             q.put(None)
 
@@ -156,6 +173,39 @@ class Loader:
             if batch is None:
                 return
             yield batch
+
+
+def write_synthetic_clevr(data_dir: str, n: int = 128, split: str = "train",
+                          seed: int = 0, imsize: int = 64) -> None:
+    """Tiny CLEVR-format dataset (scenes/*.json + colored-box images)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(data_dir, split, "images")
+    scene_dir = os.path.join(data_dir, split, "scenes")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(scene_dir, exist_ok=True)
+    shapes = list(CLEVR_SHAPES)
+    colors = list(CLEVR_COLORS)
+    palette = {"gray": (128, 128, 128), "red": (200, 30, 30),
+               "blue": (40, 60, 200), "green": (30, 160, 60),
+               "brown": (140, 90, 40), "purple": (130, 40, 160),
+               "cyan": (40, 180, 190), "yellow": (210, 200, 40)}
+    for i in range(n):
+        img = np.zeros((imsize, imsize, 3), np.uint8)
+        objects = []
+        for _ in range(rng.randint(2, 5)):
+            w = h = rng.randint(imsize // 6, imsize // 3)
+            x = rng.randint(0, imsize - w)
+            y = rng.randint(0, imsize - h)
+            shape = shapes[rng.randint(len(shapes))]
+            color = colors[rng.randint(len(colors))]
+            img[y:y + h, x:x + w] = palette[color]
+            objects.append({"bbox": [float(x), float(y), float(w), float(h)],
+                            "shape": shape, "color": color})
+        name = f"CLEVR_{split}_{i:06d}.png"
+        Image.fromarray(img).save(os.path.join(img_dir, name))
+        with open(os.path.join(scene_dir, name.replace(".png", ".json")),
+                  "w") as f:
+            json.dump({"image_filename": name, "objects": objects}, f)
 
 
 def write_synthetic_multimnist(data_dir: str, n: int = 256,

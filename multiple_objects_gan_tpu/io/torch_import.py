@@ -112,6 +112,69 @@ def import_stage1_g(checkpoint: dict, mcfg) -> tuple[dict, dict]:
     return params, stats
 
 
+def _resblock(sd, prefix):
+    """torch ResBlock.block = [conv3x3, BN, ReLU, conv3x3, BN]."""
+    bn1_p, bn1_s = _bn(sd, f"{prefix}.block.1")
+    bn2_p, bn2_s = _bn(sd, f"{prefix}.block.4")
+    params = {
+        "Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.block.0.weight")}},
+        "Conv3x3_1": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.block.3.weight")}},
+        "TorchBatchNorm_0": bn1_p, "TorchBatchNorm_1": bn2_p}
+    stats = {"TorchBatchNorm_0": bn1_s, "TorchBatchNorm_1": bn2_s}
+    return params, stats
+
+
+def import_stage2_g(checkpoint: dict, s1_cfg, s2_cfg, r_num: int = 2):
+    """Map a reference STAGE2_G state_dict -> (s1 import, s2 params/stats).
+
+    Source layout: code/coco/stackgan/model.py:311-442. The wrapped frozen
+    STAGE1_G lives under the 'STAGE1_G.' prefix.
+    """
+    sd = checkpoint["netG"] if "netG" in checkpoint else checkpoint
+    s1_sd = {k[len("STAGE1_G."):]: v for k, v in sd.items()
+             if k.startswith("STAGE1_G.")}
+    s1 = import_stage1_g(s1_sd, s1_cfg) if s1_sd else None
+
+    params: dict = {}
+    stats: dict = {}
+    # encoder Sequential: [conv3x3, ReLU, conv4s2, BN, ReLU, conv4s2, BN, ReLU]
+    # enc_conv0 is a Conv3x3 wrapper; enc_conv1/2 are raw nn.Conv
+    params["enc_conv0"] = {"Conv_0": {"kernel": _conv(sd, "encoder.0.weight")}}
+    params["enc_conv1"] = {"kernel": _conv(sd, "encoder.2.weight")}
+    params["enc_conv2"] = {"kernel": _conv(sd, "encoder.5.weight")}
+    for flax_name, tprefix in [("enc_bn1", "encoder.3"),
+                               ("enc_bn2", "encoder.6")]:
+        p, s = _bn(sd, tprefix)
+        params[flax_name] = p
+        stats[flax_name] = s
+
+    params["ca_net"] = {"Dense_0": {"Dense_0": {
+        "kernel": _linear(sd, "ca_net.fc.weight"),
+        "bias": np.asarray(sd["ca_net.fc.bias"], np.float32)}}}
+    bn_p, bn_s = _bn(sd, "label.1")
+    params["label"] = {"Dense_0": {"Dense_0": {"kernel": _linear(sd, "label.0.weight")}},
+                       "TorchBatchNorm_0": bn_p}
+    stats["label"] = {"TorchBatchNorm_0": bn_s}
+
+    hr_p, hr_s = _bn(sd, "hr_joint.1")
+    params["hr_joint_conv"] = {"Conv_0": {"kernel": _conv(sd, "hr_joint.0.weight")}}
+    params["hr_joint_bn"] = hr_p
+    stats["hr_joint_bn"] = hr_s
+
+    for i in range(r_num):
+        p, s = _resblock(sd, f"residual.{i}")
+        params[f"residual{i}"] = p
+        stats[f"residual{i}"] = s
+
+    for name in ["local1", "local2", "upsample1", "upsample2", "upsample3",
+                 "upsample4"]:
+        p, s = _upblock(sd, name)
+        params[name] = p
+        stats[name] = s
+    params["img"] = {"Conv_0": {"kernel": _conv(sd, "img.0.weight")}}
+    return s1, (params, stats)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

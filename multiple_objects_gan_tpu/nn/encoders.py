@@ -261,7 +261,8 @@ class CNNEncoder(nn.Module):
     nef: int = 256
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array]:
+    def __call__(self, x: Array, train: bool = False,
+                 return_pool: bool = False):
         b = x.shape[0]
         x = jax.image.resize(x, (b, 299, 299, x.shape[-1]), method="bilinear")
         x = BasicConv2d(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x, train)
@@ -293,4 +294,7 @@ class CNNEncoder(nn.Module):
                             name="emb_cnn_code")(x)
         region = nn.Dense(self.nef, use_bias=False, kernel_init=uinit,
                           name="emb_features")(features)  # 1x1 conv == dense
+        if return_pool:
+            # raw 2048-d pooled backbone features (for FID)
+            return region, cnn_code, x
         return region, cnn_code

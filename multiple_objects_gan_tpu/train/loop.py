@@ -32,7 +32,8 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
           make_train_step_fn: Optional[Callable] = None,
           sample_fn: Optional[Callable] = None,
           mesh=None, seed: int = 0, log_every: int = 500,
-          max_epochs: Optional[int] = None):
+          max_epochs: Optional[int] = None,
+          profile_dir: Optional[str] = None):
     """Run the full training. Returns the final state."""
     from multiple_objects_gan_tpu.train.step import (
         create_state, make_sample_fn, make_train_step)
@@ -79,9 +80,17 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
             lr_d *= 0.5
         last_batch = None
         for i, batch in enumerate(loader.epoch(epoch)):
+            # profiling hooks (reference has none — SURVEY.md §5): trace a
+            # few post-warmup steps so the XLA timeline is inspectable
+            if profile_dir and epoch == 0 and i == 2:
+                jax.profiler.start_trace(profile_dir)
             sharded = pmesh.shard_batch(mesh, batch)
             state, metrics = step_fn(state, sharded, rng,
                                      np.float32(lr_g), np.float32(lr_d))
+            if profile_dir and epoch == 0 and i == 5:
+                jax.block_until_ready(state.g_params)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}", flush=True)
             if i % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 writer.scalars(count, host)
