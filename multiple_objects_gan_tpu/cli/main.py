@@ -107,7 +107,8 @@ def run_mnist(args, cfg, output_dir, seed):
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
-              profile_dir=args.profile or None)
+              profile_dir=args.profile or None,
+              resume_dir=args.resume or None)
     else:
         from multiple_objects_gan_tpu.cli.sample import sample_stage1
         sample_stage1(args, cfg, mcfg, g, output_dir, "multi-mnist", seed)
@@ -133,7 +134,8 @@ def run_clevr(args, cfg, output_dir, seed):
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
-              profile_dir=args.profile or None)
+              profile_dir=args.profile or None,
+              resume_dir=args.resume or None)
     else:
         from multiple_objects_gan_tpu.cli.sample import sample_stage1
         sample_stage1(args, cfg, mcfg, g, output_dir, "clevr", seed)
@@ -160,7 +162,8 @@ def run_stackgan(args, cfg, output_dir, seed):
                         seed=seed)
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
-              profile_dir=args.profile or None)
+              profile_dir=args.profile or None,
+              resume_dir=args.resume or None)
     else:
         from multiple_objects_gan_tpu.cli.stage2_runner import run_stage2
         run_stage2(args, cfg, output_dir, seed)

@@ -33,7 +33,8 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
           sample_fn: Optional[Callable] = None,
           mesh=None, seed: int = 0, log_every: int = 500,
           max_epochs: Optional[int] = None,
-          profile_dir: Optional[str] = None):
+          profile_dir: Optional[str] = None,
+          resume_dir: Optional[str] = None):
     """Run the full training. Returns the final state."""
     from multiple_objects_gan_tpu.train.step import (
         create_state, make_sample_fn, make_train_step)
@@ -61,6 +62,17 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
     if sample_fn is None:
         sample_fn = make_sample_fn(model_cfg, g_module)
 
+    # resume: restore the full state (params, optimizers, BN stats, step) —
+    # a superset of the reference's attngan resume (trainer.py:99-107)
+    start_epoch = 0
+    if resume_dir:
+        prev = CheckpointManager(os.path.join(resume_dir, "models"))
+        if prev.latest_epoch() is not None:
+            state, last = prev.restore(state)
+            start_epoch = last + 1
+            print(f"resumed from {resume_dir} at epoch {start_epoch}",
+                  flush=True)
+
     state = pmesh.replicate_state(mesh, state)
     ckpt = CheckpointManager(model_dir, max_to_keep=5)
 
@@ -73,7 +85,7 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
 
     count = 0
     metrics = {}
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         if epoch % lr_decay == 0 and epoch > 0:
             lr_g *= 0.5
