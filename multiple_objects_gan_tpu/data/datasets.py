@@ -51,15 +51,29 @@ class MultiMnistDataset:
     channels = 1
 
     def __init__(self, data_dir: str, split: str = "train",
-                 variant: str = "normal"):
+                 variant: str = "normal", imsize: int = 64,
+                 cache: bool = True):
         self.split_dir = os.path.join(data_dir, split, variant)
         self.img_dir = os.path.join(self.split_dir, "imgs")
+        self.imsize = imsize
         with open(os.path.join(self.split_dir, "filenames.pickle"), "rb") as f:
             self.filenames = pickle.load(f)
         with open(os.path.join(self.split_dir, "bboxes.pickle"), "rb") as f:
             self.bboxes = np.array(pickle.load(f), dtype=np.float32)
         with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
             self.labels = np.array(pickle.load(f), dtype=np.float32)
+        # RAM cache: 64px grayscale is ~16KB/image — decode the whole split
+        # once with the native threaded loader, serve batches as array
+        # slices (the device step is ~50x faster than per-epoch re-decode)
+        self._cache = None
+        if cache:
+            from multiple_objects_gan_tpu.data.native_loader import (
+                decode_batch)
+            paths = [os.path.join(self.img_dir,
+                                  str(f).split("/")[-1])
+                     for f in self.filenames]
+            self._cache = decode_batch(paths, imsize, imsize, self.channels,
+                                       threads=16)
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -71,14 +85,18 @@ class MultiMnistDataset:
                 "bbox": self.bboxes[idx].astype(np.float32),
                 "label_onehot": self.labels[idx].astype(np.float32)}
 
-    def get_batch(self, idxs, imsize: int = 64, threads: int = 8) -> dict:
-        """Batched fast path: native C++ threaded decode (data/native_loader)."""
-        from multiple_objects_gan_tpu.data.native_loader import decode_batch
-        paths = [os.path.join(self.img_dir,
-                              str(self.filenames[i]).split("/")[-1])
-                 for i in idxs]
-        imgs = decode_batch(paths, imsize, imsize, self.channels,
-                            threads=threads)
+    def get_batch(self, idxs, threads: int = 8) -> dict:
+        """Batched fast path: RAM cache or native C++ threaded decode."""
+        if self._cache is not None:
+            imgs = self._cache[idxs]
+        else:
+            from multiple_objects_gan_tpu.data.native_loader import (
+                decode_batch)
+            paths = [os.path.join(self.img_dir,
+                                  str(self.filenames[i]).split("/")[-1])
+                     for i in idxs]
+            imgs = decode_batch(paths, self.imsize, self.imsize,
+                                self.channels, threads=threads)
         return {"image": imgs,
                 "bbox": self.bboxes[idxs].astype(np.float32),
                 "label_onehot": self.labels[idxs].astype(np.float32)}
