@@ -57,9 +57,11 @@ def init_encoders(cfg, text_enc, image_enc, words_num: int, rng):
     """Init encoder variables; import DAMSM .pth when available."""
     caps = jnp.ones((2, words_num), jnp.int32)
     lens = jnp.full((2,), words_num, jnp.int32)
-    text_vars = text_enc.init(rng, caps, lens, train=False)
+    text_vars = jax.jit(lambda r: text_enc.init(
+        r, caps, lens, train=False))(rng)
     img = jnp.zeros((2, 64, 64, 3))
-    image_vars = image_enc.init(rng, img, train=False)
+    image_vars = jax.jit(lambda r: image_enc.init(
+        r, img, train=False))(rng)
 
     net_e = cfg.TRAIN.get("NET_E", "") if hasattr(cfg.TRAIN, "get") else ""
     if net_e and os.path.exists(net_e):
@@ -95,8 +97,8 @@ def run(args, cfg, output_dir: str, seed: int):
                              int(cfg.TEXT.WORDS_NUM), rng)
 
     if not cfg.TRAIN.FLAG:
-        return sampling(args, cfg, ds, mcfg, g, text_enc, enc_vars,
-                        output_dir, seed)
+        return sampling(args, cfg, ds, mcfg, g, d_modules, text_enc,
+                        enc_vars, output_dir, seed)
 
     smooth = {k: float(v) for k, v in cfg.TRAIN.SMOOTH.items()}
     step_fn = jax.jit(
@@ -152,20 +154,19 @@ def run(args, cfg, output_dir: str, seed: int):
     return state
 
 
-def sampling(args, cfg, ds, mcfg, g, text_enc, enc_vars, output_dir: str,
-             seed: int, num_images: int = 0):
+def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
+             output_dir: str, seed: int, num_images: int = 0):
     """Bulk single-image dump for FID/IS (trainer.py:387-472). Uses EMA G
-    weights when a checkpoint is available."""
+    weights when a checkpoint is available. d_modules must match the
+    training configuration so the checkpoint structure restores."""
     from multiple_objects_gan_tpu.data.datasets import Loader
     from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
     from multiple_objects_gan_tpu.train.attngan_step import (
         create_attngan_state)
-    from multiple_objects_gan_tpu.models.attngan import DNet64
     from multiple_objects_gan_tpu.utils.images import to_uint8
     from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
-    d_modules = {"d64": DNet64(mcfg)}
     state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
                                  seq_len=int(cfg.TEXT.WORDS_NUM))
     net_g = cfg.TRAIN.get("NET_G", "")

@@ -67,10 +67,14 @@ def decode_batch(paths: list[str], out_h: int, out_w: int, out_c: int,
             out_h, out_w, out_c, threads)
         if got == n:
             return out
-        # partial failure: fall through to PIL for correctness
+        # partial failure: retry everything via PIL; unreadable files stay 0
     from PIL import Image
     for i, p in enumerate(paths):
-        img = Image.open(p).convert("L" if out_c == 1 else "RGB")
+        try:
+            img = Image.open(p).convert("L" if out_c == 1 else "RGB")
+        except OSError:
+            out[i] = 0.0
+            continue
         if img.size != (out_w, out_h):
             img = img.resize((out_w, out_h), Image.BILINEAR)
         arr = np.asarray(img, np.float32)

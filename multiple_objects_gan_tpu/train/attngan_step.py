@@ -96,20 +96,27 @@ def create_attngan_state(cfg: AttnGanConfig, g_module, d_modules: dict,
     bbox = jnp.tile(jnp.array([0.25, 0.25, 0.5, 0.5]), (b, o, 1))
     labels = jnp.zeros((b, o, cfg.label_dim)).at[:, :, 0].set(1.0)
 
-    g_vars = g_module.init(rng_g, z, sent, words, mask, bbox, labels,
-                           train=True, ca_rng=rng_ca)
+    # jitted inits: see train/step.py — eager init over a tunneled TPU
+    # pays per-op RPC latency
+    g_vars = jax.jit(lambda r: g_module.init(
+        r, z, sent, words, mask, bbox, labels, train=True,
+        ca_rng=rng_ca))(rng_g)
     d_params, d_stats = {}, {}
     for name, mod in d_modules.items():
         scale = int(name[1:])
         img = jnp.zeros((b, scale, scale, 3))
         if name == "d64":
-            v = mod.init(rng_d, img, labels, bbox, train=True)
+            v = jax.jit(lambda r, m=mod, im=img: m.init(
+                r, im, labels, bbox, train=True))(rng_d)
         else:
-            v = mod.init(rng_d, img, train=True)
+            v = jax.jit(lambda r, m=mod, im=img: m.init(
+                r, im, train=True))(rng_d)
         h = jnp.zeros((b, 4, 4, cfg.df_dim * 8))
         c = jnp.zeros((b, cfg.embedding_dim))
-        vh = mod.init(rng_d, h, c, train=True, method="cond_logits")
-        vu = mod.init(rng_d, h, train=True, method="uncond_logits")
+        vh = jax.jit(lambda r, m=mod: m.init(
+            r, h, c, train=True, method="cond_logits"))(rng_d)
+        vu = jax.jit(lambda r, m=mod: m.init(
+            r, h, train=True, method="uncond_logits"))(rng_d)
         d_params[name] = {**v["params"], **vh["params"], **vu["params"]}
         d_stats[name] = {**v.get("batch_stats", {}),
                          **vh.get("batch_stats", {}),

@@ -74,17 +74,23 @@ def create_state(cfg: Stage1Config, g_module, d_module, rng,
     text = jnp.zeros((b, cfg.text_dim)) if cfg.use_ca else None
     img = jnp.zeros((b, 64, 64, cfg.img_channels))
 
-    g_vars = g_module.init(rng_g, z, bbox, labels, text, train=True,
-                           ca_rng=rng_ca if cfg.use_ca else None)
-    d_vars = d_module.init(rng_d, img, labels, bbox, train=True)
+    # jit the inits: eager init costs one device round-trip per op,
+    # which is minutes over a tunneled TPU for the full-size models
+    g_vars = jax.jit(lambda r: g_module.init(
+        r, z, bbox, labels, text, train=True,
+        ca_rng=rng_ca if cfg.use_ca else None))(rng_g)
+    d_vars = jax.jit(lambda r: d_module.init(
+        r, img, labels, bbox, train=True))(rng_d)
     # heads are only reachable via methods; init them too
     h = jnp.zeros((b, 4, 4, cfg.df_dim * 8))
     c = jnp.zeros((b, cfg.d_cond_dim))
-    d_head = d_module.init(rng_d, h, c, train=True, method="cond_logits")
+    d_head = jax.jit(lambda r: d_module.init(
+        r, h, c, train=True, method="cond_logits"))(rng_d)
     d_params = {**d_vars["params"], **d_head["params"]}
     d_stats = {**d_vars.get("batch_stats", {}), **d_head.get("batch_stats", {})}
     if cfg.use_uncond_head:
-        d_uhead = d_module.init(rng_d, h, train=True, method="uncond_logits")
+        d_uhead = jax.jit(lambda r: d_module.init(
+            r, h, train=True, method="uncond_logits"))(rng_d)
         d_params.update(d_uhead["params"])
         d_stats.update(d_uhead.get("batch_stats", {}))
 
@@ -242,13 +248,17 @@ def create_state_stage2(cfg, g2_module, d2_module, rng,
     text = jnp.zeros((b, cfg.text_dim))
     img256 = jnp.zeros((b, 256, 256, cfg.img_channels))
 
-    g_vars = g2_module.init(rng_g, s1_img, bbox, bbox, labels, text,
-                            train=True, ca_rng=rng_ca)
-    d_vars = d2_module.init(rng_d, img256, labels, bbox, train=True)
+    g_vars = jax.jit(lambda r: g2_module.init(
+        r, s1_img, bbox, bbox, labels, text, train=True,
+        ca_rng=rng_ca))(rng_g)
+    d_vars = jax.jit(lambda r: d2_module.init(
+        r, img256, labels, bbox, train=True))(rng_d)
     h = jnp.zeros((b, 4, 4, cfg.df_dim * 8))
     c = jnp.zeros((b, cfg.d_cond_dim))
-    d_head = d2_module.init(rng_d, h, c, train=True, method="cond_logits")
-    d_uhead = d2_module.init(rng_d, h, train=True, method="uncond_logits")
+    d_head = jax.jit(lambda r: d2_module.init(
+        r, h, c, train=True, method="cond_logits"))(rng_d)
+    d_uhead = jax.jit(lambda r: d2_module.init(
+        r, h, train=True, method="uncond_logits"))(rng_d)
     d_params = {**d_vars["params"], **d_head["params"], **d_uhead["params"]}
     d_stats = {**d_vars.get("batch_stats", {}),
                **d_head.get("batch_stats", {}),
