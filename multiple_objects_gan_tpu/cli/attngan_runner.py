@@ -97,8 +97,13 @@ def run(args, cfg, output_dir: str, seed: int):
                              int(cfg.TEXT.WORDS_NUM), rng)
 
     if not cfg.TRAIN.FLAG:
-        return sampling(args, cfg, ds, mcfg, g, d_modules, text_enc,
-                        enc_vars, output_dir, seed)
+        # dispatch parity (code/coco/attngan/main.py:153-160):
+        # B_VALIDATION -> quantitative dump; else free-caption gen_example
+        if bool(cfg.B_VALIDATION):
+            return sampling(args, cfg, ds, mcfg, g, d_modules, text_enc,
+                            enc_vars, output_dir, seed)
+        return run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc,
+                               enc_vars, output_dir, seed)
 
     smooth = {k: float(v) for k, v in cfg.TRAIN.SMOOTH.items()}
     step_fn = jax.jit(
@@ -241,3 +246,35 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
     save_grid(np.asarray(out["imgs"][-1]), path, nrow=4)
     print(f"wrote {path}")
     return out
+
+
+def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
+                    output_dir: str, seed: int):
+    """Free-text caption generation (main.py:39-86 + trainer.gen_example).
+    Captions come from <DATA_DIR>/example_captions.txt (one per line) or a
+    built-in default set."""
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.train.attngan_step import (
+        create_attngan_state)
+
+    cap_file = os.path.join(cfg.DATA_DIR, "example_captions.txt")
+    if os.path.isfile(cap_file):
+        with open(cap_file) as f:
+            captions = [line.strip() for line in f if line.strip()]
+    else:
+        captions = ["a man riding a horse on a beach",
+                    "two dogs playing with a ball in a park"]
+        print(f"{cap_file} not found - using built-in example captions",
+              flush=True)
+
+    rng = jax.random.PRNGKey(seed)
+    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
+                                 seq_len=int(cfg.TEXT.WORDS_NUM))
+    net_g = cfg.TRAIN.get("NET_G", "")
+    if net_g and os.path.isdir(net_g):
+        mgr = CheckpointManager(os.path.join(net_g, "models"))
+        if mgr.latest_epoch() is not None:
+            state, _ = mgr.restore(state)
+    g_params = state.g_ema if state.g_ema is not None else state.g_params
+    return gen_example(cfg, captions, ds, mcfg, g, text_enc, enc_vars,
+                       g_params, state.g_stats, output_dir, seed)

@@ -47,17 +47,29 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
                   change_bbox_size: Optional[float] = None,
                   state=None) -> str:
     """Generate qualitative grids. Returns the directory written to."""
+    import os as _os
+
     rng = jax.random.PRNGKey(seed)
     if state is None:
         from multiple_objects_gan_tpu.io.torch_import import (
             maybe_load_reference_g)
         state = create_state(mcfg, g_module, _dummy_d(mcfg), rng)
-        loaded = maybe_load_reference_g(cfg.get("NET_G", ""), mcfg, state)
-        if loaded is not None:
-            state = loaded
+        net_g = cfg.get("NET_G", "")
+        if net_g and _os.path.isdir(net_g):
+            # an output dir of our own training -> orbax restore
+            from multiple_objects_gan_tpu.io.checkpoint import (
+                CheckpointManager)
+            mgr = CheckpointManager(_os.path.join(net_g, "models"))
+            if mgr.latest_epoch() is not None:
+                state, ep = mgr.restore(state)
+                print(f"restored G from {net_g} (epoch {ep})", flush=True)
         else:
-            print(f"WARNING: NET_G={cfg.get('NET_G', '')!r} not found — "
-                  "sampling from randomly initialized weights", flush=True)
+            loaded = maybe_load_reference_g(net_g, mcfg, state)
+            if loaded is not None:
+                state = loaded
+            else:
+                print(f"WARNING: NET_G={net_g!r} not found — sampling from "
+                      "randomly initialized weights", flush=True)
     sample_fn = make_sample_fn(mcfg, g_module)
 
     datapath = os.path.join(cfg.DATA_DIR, "test")
