@@ -1,0 +1,42 @@
+"""Train-loop resume: full-state restore continues from the saved epoch."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from multiple_objects_gan_tpu.config.config import default_config
+from multiple_objects_gan_tpu.data.datasets import (
+    Loader,
+    MultiMnistDataset,
+    write_synthetic_multimnist,
+)
+from multiple_objects_gan_tpu.models import common
+from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+from multiple_objects_gan_tpu.train.loop import train
+
+
+def test_loop_resume_roundtrip(tmp_path, capsys):
+    data_dir = str(tmp_path / "data")
+    write_synthetic_multimnist(data_dir, n=16, split="train")
+    ds = MultiMnistDataset(data_dir, split="train")
+    loader = Loader(ds, 8, shuffle=True, seed=0)  # 8 devices
+
+    cfg = default_config("multi-mnist")
+    cfg.TRAIN.SNAPSHOT_INTERVAL = 1
+    mcfg = dataclasses.replace(common.MNIST, gf_dim=8, df_dim=4)
+    g, d = Stage1G(mcfg), Stage1D(mcfg)
+
+    out1 = str(tmp_path / "run1")
+    state1 = train(cfg, mcfg, g, d, loader, out1, seed=0, max_epochs=2)
+    assert int(np.asarray(state1.step)) == 4  # 2 epochs x 2 batches
+
+    out2 = str(tmp_path / "run2")
+    state2 = train(cfg, mcfg, g, d, loader, out2, seed=0, max_epochs=3,
+                   resume_dir=out1)
+    captured = capsys.readouterr().out
+    assert "resumed from" in captured
+    # resumed at epoch 2, ran one more epoch: 4 + 2 = 6 steps
+    assert int(np.asarray(state2.step)) == 6
+    assert os.path.isdir(os.path.join(out2, "models"))
