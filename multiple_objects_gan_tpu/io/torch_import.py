@@ -175,6 +175,94 @@ def import_stage2_g(checkpoint: dict, s1_cfg, s2_cfg, r_num: int = 2):
     return s1, (params, stats)
 
 
+def _upblock_glu(sd, prefix):
+    """attngan upBlock: [Upsample, conv3x3(2f), BN(2f), GLU] ->
+    UpBlockGLU {Conv3x3_0, TorchBatchNorm_0}."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.2")
+    return ({"Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.1.weight")}},
+             "TorchBatchNorm_0": bn_p},
+            {"TorchBatchNorm_0": bn_s})
+
+
+def _resblock_glu(sd, prefix):
+    """attngan ResBlock.block = [conv3x3(2f), BN, GLU, conv3x3(f), BN]."""
+    bn1_p, bn1_s = _bn(sd, f"{prefix}.block.1")
+    bn2_p, bn2_s = _bn(sd, f"{prefix}.block.4")
+    return ({"Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.block.0.weight")}},
+             "Conv3x3_1": {"Conv_0": {"kernel": _conv(sd, f"{prefix}.block.3.weight")}},
+             "TorchBatchNorm_0": bn1_p, "TorchBatchNorm_1": bn2_p},
+            {"TorchBatchNorm_0": bn1_s, "TorchBatchNorm_1": bn2_s})
+
+
+def import_attngan_g(checkpoint: dict, branch_num: int = 3,
+                     r_num: int = 3) -> tuple[dict, dict]:
+    """Map a reference G_NET state_dict (code/coco/attngan/model.py:478-528)
+    -> (params, batch_stats) for models/attngan.py:GNet."""
+    sd = checkpoint["netG"] if "netG" in checkpoint else checkpoint
+    params: dict = {}
+    stats: dict = {}
+
+    params["ca_net"] = {"Dense_0": {"Dense_0": {
+        "kernel": _linear(sd, "ca_net.fc.weight"),
+        "bias": np.asarray(sd["ca_net.fc.bias"], np.float32)}}}
+
+    # ---- INIT_STAGE_G (h_net1, model.py:348-422) ----
+    h1_p: dict = {}
+    h1_s: dict = {}
+    h1_p["label_fc"] = {"kernel": _linear(sd, "h_net1.label.0.weight")}
+    bn_p, bn_s = _bn(sd, "h_net1.label.1")
+    h1_p["label_bn"] = bn_p
+    h1_s["label_bn"] = bn_s
+    h1_p["fc"] = {"kernel": _linear(sd, "h_net1.fc.0.weight")}
+    bn_p, bn_s = _bn(sd, "h_net1.fc.1")
+    h1_p["fc_bn"] = bn_p
+    h1_s["fc_bn"] = bn_s
+    # layout encoder
+    bn1_p, bn1_s = _bn(sd, "h_net1.bbox_net.encode.3")
+    bn2_p, bn2_s = _bn(sd, "h_net1.bbox_net.encode.6")
+    h1_p["bbox_net"] = {
+        "Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, "h_net1.bbox_net.encode.0.weight")}},
+        "Conv3x3_1": {"Conv_0": {"kernel": _conv(sd, "h_net1.bbox_net.encode.2.weight")}},
+        "Conv3x3_2": {"Conv_0": {"kernel": _conv(sd, "h_net1.bbox_net.encode.5.weight")}},
+        "TorchBatchNorm_0": bn1_p, "TorchBatchNorm_1": bn2_p}
+    h1_s["bbox_net"] = {"TorchBatchNorm_0": bn1_s, "TorchBatchNorm_1": bn2_s}
+    loc_p: dict = {}
+    loc_s: dict = {}
+    for name in ("local1", "local2"):
+        p, s = _upblock_glu(sd, f"h_net1.{name}")
+        loc_p[name] = p
+        loc_s[name] = s
+    h1_p["local"] = loc_p
+    h1_s["local"] = loc_s
+    for i in range(1, 5):
+        p, s = _upblock_glu(sd, f"h_net1.upsample{i}")
+        h1_p[f"upsample{i}"] = p
+        h1_s[f"upsample{i}"] = s
+    params["h_net1"] = h1_p
+    stats["h_net1"] = h1_s
+
+    # ---- NEXT_STAGE_G x (branch_num - 1) + image heads ----
+    for b in range(2, branch_num + 1):
+        hb_p: dict = {"att": {"conv_context": {
+            "kernel": np.asarray(sd[f"h_net{b}.att.conv_context.weight"],
+                                 np.float32)[:, :, 0, 0].T}}}
+        hb_s: dict = {}
+        for i in range(r_num):
+            p, s = _resblock_glu(sd, f"h_net{b}.residual.{i}")
+            hb_p[f"residual{i}"] = p
+            hb_s[f"residual{i}"] = s
+        p, s = _upblock_glu(sd, f"h_net{b}.upsample")
+        hb_p["upsample"] = p
+        hb_s["upsample"] = s
+        params[f"h_net{b}"] = hb_p
+        stats[f"h_net{b}"] = hb_s
+    for b in range(1, branch_num + 1):
+        params[f"img_net{b}"] = {"img": {"Conv_0": {
+            "kernel": _conv(sd, f"img_net{b}.img.0.weight")}}}
+
+    return params, stats
+
+
 def load_torch_checkpoint(path: str) -> dict:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
