@@ -27,9 +27,13 @@ Array = jax.Array
 
 
 def _axis_weights_in_kernel(scale, trans, out_size: int, in_size: int):
-    """W[i, j] = max(0, 1 - |src_i - j|) built from broadcasted iota."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
-    j = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    """W[i, j] = max(0, 1 - |src_i - j|) built from broadcasted iota.
+
+    Mosaic only supports integer iota; build int32 and cast."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 0
+                                 ).astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_size, in_size), 1
+                                 ).astype(jnp.float32)
     g = -1.0 + i * (2.0 / (out_size - 1))          # linspace(-1, 1, out)
     src = (scale * g + trans + 1.0) * 0.5 * (in_size - 1)
     return jnp.maximum(1.0 - jnp.abs(src - j), 0.0)
