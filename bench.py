@@ -1,7 +1,15 @@
 """Headline benchmark: Multi-MNIST 64px training throughput (images/sec/chip).
 
 Baseline target (BASELINE.md): >= 3000 images/sec/chip on TPU v5e.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Measurement notes (round-2 fix): `jax.block_until_ready` on a donated
+buffer does NOT reliably synchronize through the tunneled-TPU backend, so
+each timing round ends by fetching a computed scalar (the last step's
+d_loss) to the host — a device->host transfer cannot complete before the
+step that produced it. We also report MFU against the v5e peak and assert
+the measured rate is physically possible given XLA's own FLOP count for
+the compiled step.
 """
 
 from __future__ import annotations
@@ -13,6 +21,8 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 3000.0
+# v5e peak: 197 TFLOP/s bf16 (f32 matmuls route through bf16 passes).
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -32,28 +42,47 @@ def main():
              synthetic_batch(cfg, batch_size).items()}
     lr = jnp.float32(2e-4)
 
+    # XLA's own FLOP count for one compiled step (for MFU + sanity check).
+    compiled = step.lower(state, batch, rng, lr, lr).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops_per_step = float(cost.get("flops", 0.0))
+
     # warmup / compile
     for _ in range(3):
-        state, _ = step(state, batch, rng, lr, lr)
-    jax.block_until_ready(state.g_params)
+        state, metrics = step(state, batch, rng, lr, lr)
+    float(metrics["d_loss"])  # full device->host sync
 
-    # best of 3 timing rounds (guards against transient host contention)
+    # best of 3 timing rounds (guards against transient host contention);
+    # each round syncs by fetching the LAST step's d_loss: steps chain on
+    # state, so that scalar depends on every step in the round.
     n_steps = 30
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = step(state, batch, rng, lr, lr)
-        jax.block_until_ready(state.g_params)
+        sync = float(metrics["d_loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
+    assert jnp.isfinite(sync), "non-finite loss in bench step"
 
     n_chips = jax.device_count()
     img_per_sec_per_chip = n_steps * batch_size / best_dt / n_chips
+    achieved_flops = flops_per_step * n_steps / best_dt / n_chips
+    mfu = achieved_flops / V5E_PEAK_FLOPS
+    # Physical-sanity check: measured rate must be below chip peak.
+    assert achieved_flops < V5E_PEAK_FLOPS, (
+        f"measured {achieved_flops/1e12:.1f} TFLOP/s/chip exceeds v5e peak "
+        f"{V5E_PEAK_FLOPS/1e12:.0f} — timing is not synchronizing")
     print(json.dumps({
         "metric": "multi_mnist_train_throughput",
         "value": round(img_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "tflops_per_step": round(flops_per_step / 1e12, 4),
+        "step_ms": round(best_dt / n_steps * 1000, 3),
     }))
 
 
