@@ -3,27 +3,33 @@
 Parity target: condGANTrainer (code/coco/attngan/trainer.py):
   * train (:249-366): frozen encoders, G + 3 Ds, per-D optimizers, EMA,
     resume from the latest checkpoint incl. optimizer state (:99-107,
-    150-158 — here: the whole GANTrainState restores in one piece);
+    150-158 — here: the whole GANTrainState restores in one piece), and
+    attention-map montages every 1000 gen iterations (:345-353);
+  * sample (:474-579): 25 qualitative 10-tile grids (real + 9 fakes) with
+    bbox rectangles and caption filenames — the B_VALIDATION=True path
+    (main.py:153-160);
   * sampling (:387-472): bulk single-image dump for FID/IS;
-  * gen_example (:581-667): free-text captions -> images + attention maps.
+  * gen_example (:581-667): free-text captions -> per-scale images +
+    per-word attention maps.
 
-Encoders: the reference loads pretrained DAMSM weights (cfg.TRAIN.NET_E and
-the Inception download). Here NET_E may point at the published .pth (imported
-via io/damsm_import); absent weights fall back to random init with a warning
-(architecture and training mechanics are identical).
+Checkpoint sources: cfg.TRAIN.NET_G may be a reference .pth (imported via
+io/torch_import.import_attngan_g — ref loads state_dict['netG'] at
+trainer.py:497-504) or an orbax run dir from our own training (EMA weights
+preferred, matching the reference's EMA-swapped checkpoints). NET_E may
+point at the published DAMSM .pth (io/damsm_import).
 """
 
 from __future__ import annotations
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.parallel import mesh as pmesh
-from multiple_objects_gan_tpu.utils.images import save_grid
+from multiple_objects_gan_tpu.utils.attention_viz import save_attention_montage
+from multiple_objects_gan_tpu.utils.images import save_grid, to_uint8
 from multiple_objects_gan_tpu.utils.logging import MetricWriter
 
 
@@ -68,15 +74,55 @@ def init_encoders(cfg, text_enc, image_enc, words_num: int, rng):
         from multiple_objects_gan_tpu.io.damsm_import import (
             import_text_encoder)
         text_vars = import_text_encoder(net_e, text_vars)
+        print(f"Load text encoder from: {net_e}", flush=True)
         img_path = net_e.replace("text_encoder", "image_encoder")
         if os.path.exists(img_path):
             from multiple_objects_gan_tpu.io.damsm_import import (
                 import_image_encoder)
             image_vars = import_image_encoder(img_path, image_vars)
+            print(f"Load image encoder from: {img_path}", flush=True)
     else:
         print(f"WARNING: NET_E={net_e!r} not found — DAMSM encoders use "
               "random weights", flush=True)
     return {"text": text_vars, "image": image_vars}
+
+
+def restore_g(cfg, mcfg, g, d_modules, rng, seq_len: int):
+    """Resolve cfg.TRAIN.NET_G into (g_params, g_stats), EMA preferred.
+
+    Accepts (a) a reference .pth checkpoint (e.g. the published
+    coco_AttnGAN2.pth; ref loads state_dict['netG'], trainer.py:497-504)
+    imported with io/torch_import.import_attngan_g, or (b) an orbax run /
+    models dir from our own training (EMA weights, matching the
+    reference's EMA-swapped checkpoints). Falls back to random init with
+    a warning (ref prints an error, trainer.py:480-481).
+    """
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.train.attngan_step import (
+        create_attngan_state)
+
+    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
+                                 seq_len=seq_len)
+    net_g = cfg.TRAIN.get("NET_G", "")
+    if net_g and os.path.isfile(net_g) and net_g.endswith(".pth"):
+        from multiple_objects_gan_tpu.io.torch_import import (
+            import_attngan_g, load_torch_checkpoint)
+        params, stats = import_attngan_g(
+            load_torch_checkpoint(net_g), branch_num=mcfg.branch_num,
+            r_num=mcfg.r_num)
+        print(f"Load G from: {net_g}", flush=True)
+        return {**state.g_params, **params}, {**state.g_stats, **stats}
+    if net_g and os.path.isdir(net_g):
+        mdir = os.path.join(net_g, "models")
+        mgr = CheckpointManager(mdir if os.path.isdir(mdir) else net_g)
+        if mgr.latest_epoch() is not None:
+            state, _ = mgr.restore(state)
+            print(f"Load G from: {net_g}", flush=True)
+            gp = state.g_ema if state.g_ema is not None else state.g_params
+            return gp, state.g_stats
+    print(f"WARNING: TRAIN.NET_G={net_g!r} not found — G uses random "
+          "weights", flush=True)
+    return state.g_params, state.g_stats
 
 
 def run(args, cfg, output_dir: str, seed: int):
@@ -85,6 +131,7 @@ def run(args, cfg, output_dir: str, seed: int):
     from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
     from multiple_objects_gan_tpu.train.attngan_step import (
         create_attngan_state, make_attngan_train_step)
+    from multiple_objects_gan_tpu.train.loop import run_epochs
 
     ds = AttnGanDataset(
         cfg.DATA_DIR, cfg.IMG_DIR, split="train" if cfg.TRAIN.FLAG else "test",
@@ -97,16 +144,24 @@ def run(args, cfg, output_dir: str, seed: int):
                              int(cfg.TEXT.WORDS_NUM), rng)
 
     if not cfg.TRAIN.FLAG:
-        # dispatch parity (code/coco/attngan/main.py:153-160):
-        # B_VALIDATION -> quantitative dump; else free-caption gen_example
-        if bool(cfg.B_VALIDATION):
+        mode = getattr(args, "eval_mode", "auto") or "auto"
+        if mode == "auto":
+            # dispatch parity (code/coco/attngan/main.py:153-160):
+            # B_VALIDATION=True -> sample() (25 qualitative grids w/ bbox);
+            # else gen_example (free captions). sampling() (the 30k FID/IS
+            # dump) is reachable via --eval_mode sampling.
+            mode = "sample" if bool(cfg.B_VALIDATION) else "gen_example"
+        if mode == "sample":
+            return sample(args, cfg, ds, mcfg, g, d_modules, text_enc,
+                          enc_vars, output_dir, seed)
+        if mode == "sampling":
             return sampling(args, cfg, ds, mcfg, g, d_modules, text_enc,
-                            enc_vars, output_dir, seed)
+                            image_enc, enc_vars, output_dir, seed)
         return run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc,
                                enc_vars, output_dir, seed)
 
     smooth = {k: float(v) for k, v in cfg.TRAIN.SMOOTH.items()}
-    step_fn = jax.jit(
+    step_raw = jax.jit(
         make_attngan_train_step(mcfg, g, d_modules, text_enc, image_enc,
                                 smooth=smooth),
         donate_argnums=(0,))
@@ -125,61 +180,156 @@ def run(args, cfg, output_dir: str, seed: int):
     loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True, seed=seed)
     mesh = pmesh.make_mesh()
     state = pmesh.replicate_state(mesh, state)
-    enc_vars = jax.device_put(enc_vars, pmesh.replicated(mesh))
+    enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))
+    img_dir = os.path.join(output_dir, "images")
 
-    lr_g = float(cfg.TRAIN.GENERATOR_LR)
-    lr_d = float(cfg.TRAIN.DISCRIMINATOR_LR)
-    snapshot = int(cfg.TRAIN.SNAPSHOT_INTERVAL)
+    def step_fn(state, batch, rng, lr_g, lr_d):
+        return step_raw(state, enc_rep, batch, rng, lr_g, lr_d)
+
+    @jax.jit
+    def viz_forward(g_params, g_stats, caps, lens, bbox, labels, z):
+        words, sent = text_enc.apply(enc_rep["text"], caps, lens,
+                                     train=False)
+        out = g.apply({"params": g_params, "batch_stats": g_stats},
+                      z, sent, words, caps == 0, bbox, labels,
+                      train=False, ca_rng=None)
+        return out["imgs"], out["att_maps"]
+
+    def _viz(state, batch, noise_key: int, tag: str):
+        nviz = min(8, batch["captions"].shape[0])
+        caps = jnp.asarray(batch["captions"][:nviz])
+        lens = jnp.asarray(batch["cap_lens"][:nviz])
+        z = jax.random.normal(jax.random.fold_in(rng, noise_key),
+                              (nviz, mcfg.z_dim))
+        imgs, atts = viz_forward(state.g_params, state.g_stats, caps, lens,
+                                 jnp.asarray(batch["bbox"][:nviz]),
+                                 jnp.asarray(batch["label_onehot"][:nviz]),
+                                 z)
+        save_grid(np.asarray(imgs[-1]),
+                  os.path.join(img_dir, f"fake_samples_{tag}.png"), nrow=4)
+        if atts:
+            # montage over the first attention stage, overlaid on the
+            # matching next-scale image (ref trainer.py:345-353)
+            im_for_att = imgs[1] if len(imgs) > 1 else imgs[0]
+            save_attention_montage(
+                os.path.join(img_dir, f"attention_maps_{tag}.png"),
+                np.asarray(im_for_att), np.asarray(atts[0]),
+                np.asarray(caps), ds.ixtoword, np.asarray(lens))
+
+    def step_hook(state, batch, count):
+        # attention montage every 1000 gen iterations (trainer.py:345-353)
+        _viz(state, batch, count, f"step_{count:07d}")
+
+    def epoch_end(state, batch, epoch):
+        _viz(state, batch, 1_000_000 + epoch, f"epoch_{epoch:03d}")
+        if epoch == start_epoch:
+            top = f"image{ds.imsizes[-1]}"
+            save_grid(batch[top][:8],
+                      os.path.join(img_dir, "real_samples.png"), nrow=4)
+
     n_epochs = int(args.max_epochs if args.max_epochs is not None
                    else cfg.TRAIN.MAX_EPOCH)
-    count = 0
-    metrics = {}
-    for epoch in range(start_epoch, n_epochs):
-        t0 = time.time()
-        for i, batch in enumerate(loader.epoch(epoch)):
-            sharded = pmesh.shard_batch(mesh, batch)
-            state, metrics = step_fn(state, enc_vars, sharded, rng,
-                                     np.float32(lr_g), np.float32(lr_d))
-            if i % 500 == 0:
-                writer.scalars(count, {k: float(v)
-                                       for k, v in metrics.items()})
-            count += 1
-        host = {k: float(v) for k, v in metrics.items()}
-        print(f"[{epoch}/{n_epochs}] "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
-              + f" time={time.time() - t0:.1f}s", flush=True)
-        if snapshot and ((epoch + 1) % snapshot == 0
-                         or epoch == n_epochs - 1):
-            # checkpoints store the EMA-swapped G like the reference
-            # (trainer.py:173-199); the raw G is stored too (whole state)
-            ckpt.save(epoch, jax.device_get(state))
+    state, _ = run_epochs(
+        loader=loader, state=state, step_fn=step_fn, mesh=mesh, rng=rng,
+        lr_g=float(cfg.TRAIN.GENERATOR_LR),
+        lr_d=float(cfg.TRAIN.DISCRIMINATOR_LR),
+        n_epochs=n_epochs, ckpt=ckpt, writer=writer,
+        start_epoch=start_epoch,
+        lr_decay_epochs=0,  # ref condGANTrainer never decays the LR
+        snapshot_every=int(cfg.TRAIN.SNAPSHOT_INTERVAL),
+        profile_dir=args.profile or None,
+        epoch_end_fn=epoch_end, step_hook=step_hook, step_hook_every=1000)
     ckpt.close()
     writer.close()
     return state
 
 
-def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
-             output_dir: str, seed: int, num_images: int = 0):
-    """Bulk single-image dump for FID/IS (trainer.py:387-472). Uses EMA G
-    weights when a checkpoint is available. d_modules must match the
-    training configuration so the checkpoint structure restores."""
+def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
+           output_dir: str, seed: int, num_samples: int = 25,
+           draw_bbox: bool = True):
+    """Qualitative eval grids (trainer.py:474-579): for each of the first
+    num_samples test items, one 10-tile row [real | 9 fakes] at the final
+    scale, bbox edges drawn as white lines on every tile, the caption as
+    the filename."""
     from multiple_objects_gan_tpu.data.datasets import Loader
-    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
-    from multiple_objects_gan_tpu.train.attngan_step import (
-        create_attngan_state)
-    from multiple_objects_gan_tpu.utils.images import to_uint8
+
+    rng = jax.random.PRNGKey(seed)
+    g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
+                                  int(cfg.TEXT.WORDS_NUM))
+    imsize = ds.imsizes[-1]
+    save_dir = os.path.join(output_dir, "samples")
+    os.makedirs(save_dir, exist_ok=True)
+    loader = Loader(ds, 1, shuffle=False, seed=seed)
+
+    @jax.jit
+    def gen(caps, lens, bbox, labels, z):
+        words, sent = text_enc.apply(enc_vars["text"], caps, lens,
+                                     train=False)
+        # tile the single conditioning x9 with fresh noise per tile
+        # (trainer.py:525-546)
+        out = g.apply({"params": g_params, "batch_stats": g_stats},
+                      z, jnp.tile(sent, (9, 1)), jnp.tile(words, (9, 1, 1)),
+                      jnp.tile(caps == 0, (9, 1)),
+                      jnp.tile(bbox, (9, 1, 1)),
+                      jnp.tile(labels, (9, 1, 1)), train=False, ca_rng=None)
+        return out["imgs"][-1]
+
+    n_written = 0
+    for step, batch in enumerate(loader.epoch(0)):
+        if step >= num_samples:
+            break
+        z = jax.random.normal(jax.random.fold_in(rng, step),
+                              (9, mcfg.z_dim))
+        fakes = np.asarray(gen(jnp.asarray(batch["captions"]),
+                               jnp.asarray(batch["cap_lens"]),
+                               jnp.asarray(batch["bbox"]),
+                               jnp.asarray(batch["label_onehot"]), z))
+        real = np.asarray(batch[f"image{imsize}"][0], np.float32)
+        tiles = np.concatenate([real[None], fakes], axis=0)  # (10,H,W,3)
+
+        if draw_bbox:
+            # white 1-px rectangle edges on all 10 tiles
+            # (trainer.py:558-569; value 1.0 == white after [-1,1] mapping)
+            for bb in np.asarray(batch["bbox"][0]):
+                if bb[0] < 0:
+                    break
+                x, y = int(imsize * bb[0]), int(imsize * bb[1])
+                w = min(int(imsize * bb[2]), imsize - 1)
+                h = min(int(imsize * bb[3]), imsize - 1)
+                tiles[:, y, x:x + w] = 1.0
+                tiles[:, y:y + h, x] = 1.0
+                tiles[:, min(y + h, imsize - 1), x:x + w] = 1.0
+                tiles[:, y:y + h, min(x + w, imsize - 1)] = 1.0
+
+        # caption words up to the first <end> as the filename
+        # (trainer.py:571-578)
+        sent_words = []
+        for c in np.asarray(batch["captions"][0]):
+            if c == 0:
+                break
+            sent_words.append(str(ds.ixtoword.get(int(c), "?")))
+        sentence = " ".join(sent_words) or "empty"
+        save_grid(tiles, os.path.join(save_dir, f"{sentence}_{step}.png"),
+                  nrow=10)
+        n_written += 1
+    print(f"Saved {n_written} files to {save_dir}", flush=True)
+    return save_dir
+
+
+def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
+             enc_vars, output_dir: str, seed: int, num_images: int = 0):
+    """Bulk single-image dump for quantitative eval (trainer.py:387-472),
+    then FID + Inception Score against the real test split (the reference
+    runs these externally; BASELINE.md makes them in-repo targets)."""
+    from multiple_objects_gan_tpu.data.datasets import Loader
+    from multiple_objects_gan_tpu.utils.metrics import (
+        compute_fid, inception_score)
     from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
-    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
-                                 seq_len=int(cfg.TEXT.WORDS_NUM))
-    net_g = cfg.TRAIN.get("NET_G", "")
-    if net_g and os.path.isdir(net_g):
-        mgr = CheckpointManager(os.path.join(net_g, "models"))
-        if mgr.latest_epoch() is not None:
-            state, _ = mgr.restore(state)
-    g_params = state.g_ema if state.g_ema is not None else state.g_params
+    g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
+                                  int(cfg.TEXT.WORDS_NUM))
 
     bs = int(cfg.TRAIN.BATCH_SIZE)
     loader = Loader(ds, bs, shuffle=False, seed=seed)
@@ -190,13 +340,15 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
     def gen(batch_caps, batch_lens, bbox, labels, z):
         words, sent = text_enc.apply(enc_vars["text"], batch_caps,
                                      batch_lens, train=False)
-        out = g.apply({"params": g_params, "batch_stats": state.g_stats},
+        out = g.apply({"params": g_params, "batch_stats": g_stats},
                       z, sent, words, batch_caps == 0, bbox, labels,
                       train=False, ca_rng=None)
         return out["imgs"][-1]
 
     written = 0
     limit = num_images or len(ds)
+    fakes_acc, reals_acc = [], []
+    top = f"image{ds.imsizes[-1]}"
     for batch in loader.epoch(0):
         z = jax.random.normal(jax.random.fold_in(rng, written),
                               (bs, mcfg.z_dim))
@@ -207,20 +359,34 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
         for i in range(imgs.shape[0]):
             Image.fromarray(to_uint8(imgs[i])).save(
                 os.path.join(out_dir, f"s_{written:06d}.png"))
+            fakes_acc.append(imgs[i])
+            reals_acc.append(np.asarray(batch[top][i], np.float32))
             written += 1
             if written >= limit:
                 break
         if written >= limit:
             break
-    print(f"wrote {written} single images to {out_dir}")
+    print(f"wrote {written} single images to {out_dir}", flush=True)
+
+    fakes = np.stack(fakes_acc)
+    reals = np.stack(reals_acc)
+    fid = compute_fid(image_enc, enc_vars["image"], reals, fakes)
+    is_mean, is_std = inception_score(image_enc, enc_vars["image"], fakes)
+    print(f"FID: {fid:.3f}  IS: {is_mean:.3f} +/- {is_std:.3f}", flush=True)
+    import json
+    with open(os.path.join(output_dir, "eval_metrics.json"), "w") as f:
+        json.dump({"fid": fid, "inception_score_mean": is_mean,
+                   "inception_score_std": is_std, "n_images": written}, f)
     return out_dir
 
 
 def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
                 enc_vars, g_params, g_stats, output_dir: str, seed: int = 0):
-    """Free-text captions -> images (+ attention maps), trainer.py:581-667."""
+    """Free-text captions -> per-scale images + per-word attention maps
+    (trainer.py:581-667: saves <name>_g{k}.png per scale and
+    <name>_a{k}.png attention montages via build_super_images2)."""
     from multiple_objects_gan_tpu.data.attngan import tokenize
-    from multiple_objects_gan_tpu.utils.images import save_grid
+    from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
     words_num = int(cfg.TEXT.WORDS_NUM)
@@ -242,9 +408,26 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
     out = g.apply({"params": g_params, "batch_stats": g_stats},
                   z, sent, words, caps == 0, bbox, labels,
                   train=False, ca_rng=None)
+
+    base = os.path.join(output_dir, "gen_example")
+    os.makedirs(base, exist_ok=True)
+    imgs = [np.asarray(x) for x in out["imgs"]]
+    atts = [np.asarray(a) for a in out["att_maps"]]
+    caps_np = np.asarray(caps)
+    lens_np = np.asarray(lens)
+    for j in range(b):
+        name = os.path.join(base, f"0_s_{j}")
+        for k, im in enumerate(imgs):
+            Image.fromarray(to_uint8(im[j])).save(f"{name}_g{k}.png")
+        for k, att in enumerate(atts):
+            im_for_att = imgs[k + 1] if len(imgs) > 1 else imgs[0]
+            save_attention_montage(f"{name}_a{k}.png", im_for_att[j:j + 1],
+                                   att[j:j + 1], caps_np[j:j + 1],
+                                   ds.ixtoword, lens_np[j:j + 1])
     path = os.path.join(output_dir, "gen_example.png")
-    save_grid(np.asarray(out["imgs"][-1]), path, nrow=4)
-    print(f"wrote {path}")
+    save_grid(imgs[-1], path, nrow=4)
+    print(f"wrote {path} + per-caption images/attention maps in {base}",
+          flush=True)
     return out
 
 
@@ -253,10 +436,6 @@ def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
     """Free-text caption generation (main.py:39-86 + trainer.gen_example).
     Captions come from <DATA_DIR>/example_captions.txt (one per line) or a
     built-in default set."""
-    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
-    from multiple_objects_gan_tpu.train.attngan_step import (
-        create_attngan_state)
-
     cap_file = os.path.join(cfg.DATA_DIR, "example_captions.txt")
     if os.path.isfile(cap_file):
         with open(cap_file) as f:
@@ -268,13 +447,7 @@ def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
               flush=True)
 
     rng = jax.random.PRNGKey(seed)
-    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
-                                 seq_len=int(cfg.TEXT.WORDS_NUM))
-    net_g = cfg.TRAIN.get("NET_G", "")
-    if net_g and os.path.isdir(net_g):
-        mgr = CheckpointManager(os.path.join(net_g, "models"))
-        if mgr.latest_epoch() is not None:
-            state, _ = mgr.restore(state)
-    g_params = state.g_ema if state.g_ema is not None else state.g_params
+    g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
+                                  int(cfg.TEXT.WORDS_NUM))
     return gen_example(cfg, captions, ds, mcfg, g, text_enc, enc_vars,
-                       g_params, state.g_stats, output_dir, seed)
+                       g_params, g_stats, output_dir, seed)

@@ -41,6 +41,11 @@ def parse_args(argv=None):
                    help="generate a synthetic dataset when data is absent")
     p.add_argument("--profile", default="",
                    help="directory for a jax.profiler trace of steps 2-5")
+    p.add_argument("--eval_mode", default="auto",
+                   choices=["auto", "sample", "sampling", "gen_example"],
+                   help="attngan eval path: auto follows the reference "
+                        "dispatch (B_VALIDATION -> sample, else "
+                        "gen_example); 'sampling' is the bulk FID/IS dump")
     return p.parse_args(argv)
 
 
@@ -74,9 +79,20 @@ def main(argv=None):
     output_dir = args.output_dir or os.path.join(
         "output", f"{cfg.DATASET_NAME}_{now}")
     os.makedirs(output_dir, exist_ok=True)
-    # source snapshot (main.py:71-76)
+    # source snapshot (code/multi-mnist/main.py:71-76, attngan
+    # main.py:144-151): the reference copies main/trainer/model/utils/
+    # datasets + cfg into the output dir so every run is reproducible;
+    # here the package sources that define the run are snapshotted.
     shutil.copyfile(args.cfg_file,
                     os.path.join(output_dir, os.path.basename(args.cfg_file)))
+    if cfg.TRAIN.FLAG and not args.resume:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        snap = os.path.join(output_dir, "src_snapshot")
+        for rel in ("cli", "models", "train", "losses", "nn", "ops", "data"):
+            src = os.path.join(pkg_root, rel)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(snap, rel),
+                                dirs_exist_ok=True)
 
     if args.variant == "multi-mnist":
         run_mnist(args, cfg, output_dir, seed)

@@ -152,8 +152,7 @@ class Loader:
     """Shuffled, drop-last, thread-prefetched batcher."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2,
-                 extra_keys: Optional[dict] = None):
+                 seed: int = 0, prefetch: int = 2):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle

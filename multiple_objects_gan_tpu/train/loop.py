@@ -8,6 +8,11 @@ Parity target: GANTrainer.train (code/multi-mnist/trainer.py:75-206):
   * fake-image grid per epoch; snapshot every SNAPSHOT_INTERVAL epochs
     (rotation keep-5).
 
+The shared epoch skeleton (:func:`run_epochs`) also drives the AttnGAN
+trainer (cli/attngan_runner.py), which has no LR decay
+(code/coco/attngan/trainer.py never touches the LR) but adds a periodic
+step hook for attention montages (trainer.py:345-353).
+
 TPU-first: one fused jitted step; host only feeds sharded batches and
 pulls scalars at logging points (avoiding per-step device->host syncs).
 """
@@ -27,6 +32,66 @@ from multiple_objects_gan_tpu.utils.images import save_grid
 from multiple_objects_gan_tpu.utils.logging import MetricWriter
 
 
+def run_epochs(*, loader, state, step_fn, mesh, rng,
+               lr_g: float, lr_d: float, n_epochs: int,
+               ckpt: CheckpointManager, writer: MetricWriter,
+               start_epoch: int = 0, lr_decay_epochs: int = 0,
+               snapshot_every: int = 0, log_every: int = 500,
+               profile_dir: Optional[str] = None,
+               epoch_end_fn: Optional[Callable] = None,
+               step_hook: Optional[Callable] = None,
+               step_hook_every: int = 0):
+    """Shared epoch/step skeleton for every trainer variant.
+
+    ``step_fn(state, sharded_batch, rng, lr_g, lr_d) -> (state, metrics)``
+    must already be jitted. ``epoch_end_fn(state, last_batch, epoch)`` runs
+    after each epoch (image grids); ``step_hook(state, batch, count)`` runs
+    every ``step_hook_every`` global steps (attention montages).
+    Returns (state, last_metrics).
+    """
+    count = 0
+    metrics: dict = {}
+    for epoch in range(start_epoch, n_epochs):
+        t0 = time.time()
+        # LR halving (code/multi-mnist/trainer.py:105-111); attngan passes
+        # lr_decay_epochs=0 (its reference trainer never decays)
+        if lr_decay_epochs and epoch % lr_decay_epochs == 0 and epoch > 0:
+            lr_g *= 0.5
+            lr_d *= 0.5
+        last_batch = None
+        for i, batch in enumerate(loader.epoch(epoch)):
+            # profiling hooks (reference has none — SURVEY.md §5): trace a
+            # few post-warmup steps so the XLA timeline is inspectable
+            if profile_dir and epoch == start_epoch and i == 2:
+                jax.profiler.start_trace(profile_dir)
+            sharded = pmesh.shard_batch(mesh, batch)
+            state, metrics = step_fn(state, sharded, rng,
+                                     np.float32(lr_g), np.float32(lr_d))
+            if profile_dir and epoch == start_epoch and i == 5:
+                jax.block_until_ready(state.g_params)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}", flush=True)
+            if i % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                writer.scalars(count, host)
+            if (step_hook is not None and step_hook_every
+                    and count % step_hook_every == 0):
+                step_hook(state, batch, count)
+            count += 1
+            last_batch = batch
+        host = {k: float(v) for k, v in metrics.items()}
+        dt = time.time() - t0
+        print(f"[{epoch}/{n_epochs}] "
+              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
+              + f" time={dt:.1f}s", flush=True)
+        if epoch_end_fn is not None and last_batch is not None:
+            epoch_end_fn(state, last_batch, epoch)
+        if snapshot_every and ((epoch + 1) % snapshot_every == 0
+                               or epoch == n_epochs - 1):
+            ckpt.save(epoch, jax.device_get(state))
+    return state, metrics
+
+
 def train(cfg_yaml, model_cfg, g_module, d_module, loader,
           output_dir: str, *, state=None, train_step: Optional[Callable] = None,
           make_train_step_fn: Optional[Callable] = None,
@@ -35,7 +100,7 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
           max_epochs: Optional[int] = None,
           profile_dir: Optional[str] = None,
           resume_dir: Optional[str] = None):
-    """Run the full training. Returns the final state."""
+    """Run the full stage-1/stage-2 training. Returns the final state."""
     from multiple_objects_gan_tpu.train.step import (
         create_state, make_sample_fn, make_train_step)
 
@@ -76,61 +141,34 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
     state = pmesh.replicate_state(mesh, state)
     ckpt = CheckpointManager(model_dir, max_to_keep=5)
 
-    lr_g = float(cfg_yaml.TRAIN.GENERATOR_LR)
-    lr_d = float(cfg_yaml.TRAIN.DISCRIMINATOR_LR)
-    lr_decay = int(cfg_yaml.TRAIN.LR_DECAY_EPOCH)
-    snapshot_every = int(cfg_yaml.TRAIN.SNAPSHOT_INTERVAL)
     n_epochs = int(max_epochs if max_epochs is not None
                    else cfg_yaml.TRAIN.MAX_EPOCH)
 
-    count = 0
-    metrics = {}
-    for epoch in range(start_epoch, n_epochs):
-        t0 = time.time()
-        if epoch % lr_decay == 0 and epoch > 0:
-            lr_g *= 0.5
-            lr_d *= 0.5
-        last_batch = None
-        for i, batch in enumerate(loader.epoch(epoch)):
-            # profiling hooks (reference has none — SURVEY.md §5): trace a
-            # few post-warmup steps so the XLA timeline is inspectable
-            if profile_dir and epoch == 0 and i == 2:
-                jax.profiler.start_trace(profile_dir)
-            sharded = pmesh.shard_batch(mesh, batch)
-            state, metrics = step_fn(state, sharded, rng,
-                                     np.float32(lr_g), np.float32(lr_d))
-            if profile_dir and epoch == 0 and i == 5:
-                jax.block_until_ready(state.g_params)
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {profile_dir}", flush=True)
-            if i % log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                writer.scalars(count, host)
-            count += 1
-            last_batch = batch
-        # epoch-end: stdout summary + image grid
-        host = {k: float(v) for k, v in metrics.items()}
-        dt = time.time() - t0
-        print(f"[{epoch}/{n_epochs}] "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
-              + f" time={dt:.1f}s", flush=True)
-        if last_batch is not None:
-            b = min(64, last_batch["image"].shape[0])
-            z = jax.random.normal(jax.random.fold_in(rng, epoch),
-                                  (b, model_cfg.z_dim))
-            text = (last_batch["text_embedding"][:b]
-                    if "text_embedding" in last_batch else None)
-            fake = sample_fn(state.g_params, state.g_stats, z,
-                             last_batch["bbox"][:b],
-                             last_batch["label_onehot"][:b], text)
-            save_grid(np.asarray(fake),
-                      os.path.join(img_dir, f"fake_samples_epoch_{epoch:03d}.png"))
-            if epoch == 0:
-                save_grid(last_batch["image"][:b],
-                          os.path.join(img_dir, "real_samples.png"))
-        if snapshot_every and ((epoch + 1) % snapshot_every == 0
-                               or epoch == n_epochs - 1):
-            ckpt.save(epoch, jax.device_get(state))
+    def epoch_grids(state, last_batch, epoch):
+        b = min(64, last_batch["image"].shape[0])
+        z = jax.random.normal(jax.random.fold_in(rng, epoch),
+                              (b, model_cfg.z_dim))
+        text = (last_batch["text_embedding"][:b]
+                if "text_embedding" in last_batch else None)
+        fake = sample_fn(state.g_params, state.g_stats, z,
+                         last_batch["bbox"][:b],
+                         last_batch["label_onehot"][:b], text)
+        save_grid(np.asarray(fake),
+                  os.path.join(img_dir, f"fake_samples_epoch_{epoch:03d}.png"))
+        if epoch == 0:
+            save_grid(last_batch["image"][:b],
+                      os.path.join(img_dir, "real_samples.png"))
+
+    state, _ = run_epochs(
+        loader=loader, state=state, step_fn=step_fn, mesh=mesh, rng=rng,
+        lr_g=float(cfg_yaml.TRAIN.GENERATOR_LR),
+        lr_d=float(cfg_yaml.TRAIN.DISCRIMINATOR_LR),
+        n_epochs=n_epochs, ckpt=ckpt, writer=writer,
+        start_epoch=start_epoch,
+        lr_decay_epochs=int(cfg_yaml.TRAIN.LR_DECAY_EPOCH),
+        snapshot_every=int(cfg_yaml.TRAIN.SNAPSHOT_INTERVAL),
+        log_every=log_every, profile_dir=profile_dir,
+        epoch_end_fn=epoch_grids)
     ckpt.close()
     writer.close()
     return state

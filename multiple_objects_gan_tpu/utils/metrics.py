@@ -68,3 +68,67 @@ def compute_fid(image_encoder, enc_vars, real_images: np.ndarray,
     a2 = inception_activations(image_encoder, enc_vars, fake_images,
                                batch_size)
     return fid_from_activations(a1, a2)
+
+
+def load_inception_fc(path: str):
+    """Load the 1000-class classifier head (fc.weight/fc.bias) from a
+    torchvision inception_v3 state_dict (.pth) or an .npz with keys
+    'weight' (1000, 2048) and 'bias' (1000,). Returns (W (2048, 1000), b)."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return np.asarray(z["weight"], np.float32).T, np.asarray(
+            z["bias"], np.float32)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return (np.asarray(sd["fc.weight"], np.float32).T,
+            np.asarray(sd["fc.bias"], np.float32))
+
+
+def inception_score(image_encoder, enc_vars, images: np.ndarray,
+                    batch_size: int = 32, splits: int = 10,
+                    fc=None) -> tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) || p(y))) (Salimans et al. 2016) over the
+    1000-class Inception-v3 head on the 2048-d pooled features.
+
+    ``fc``: optional (W (2048, 1000), b (1000,)) classifier weights — pass
+    :func:`load_inception_fc` of a full torchvision inception_v3
+    state_dict, or set $INCEPTION_V3_WEIGHTS. The DAMSM image-encoder .pth
+    does not contain the head (the reference drops it,
+    code/coco/attngan/model.py:215-230), so without imported weights a
+    deterministic random head is used: the pipeline runs end-to-end but the
+    absolute value is NOT comparable to published IS numbers.
+    """
+    import os
+
+    acts = inception_activations(image_encoder, enc_vars, images,
+                                 batch_size)
+    if fc is None:
+        env = os.environ.get("INCEPTION_V3_WEIGHTS", "")
+        if env and os.path.exists(env):
+            fc = load_inception_fc(env)
+    if fc is None:
+        print("WARNING: no Inception classifier head "
+              "($INCEPTION_V3_WEIGHTS unset) — IS uses a random head; "
+              "value is not comparable to published numbers", flush=True)
+        rng = np.random.RandomState(0)
+        fc = (rng.randn(acts.shape[1], 1000).astype(np.float32) * 0.05,
+              np.zeros(1000, np.float32))
+    w, b = fc
+    logits = acts @ w + b
+    logits -= logits.max(axis=1, keepdims=True)
+    probs = np.exp(logits)
+    probs /= probs.sum(axis=1, keepdims=True)
+
+    n = probs.shape[0]
+    scores = []
+    for k in range(splits):
+        part = probs[k * n // splits:(k + 1) * n // splits]
+        if part.shape[0] == 0:
+            continue
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = (part * (np.log(part + 1e-12)
+                      - np.log(marginal + 1e-12))).sum(axis=1)
+        scores.append(float(np.exp(kl.mean())))
+    return float(np.mean(scores)), float(np.std(scores))
