@@ -94,3 +94,90 @@ def stn_place_multi_pallas(features: Array, bbox: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), features.dtype),
     )(bbox, features)
+
+
+def _place_grad_kernel(bbox_ref, g_ref, out_ref, *, n_objects: int,
+                       in_hw: tuple[int, int]):
+    """Backward of the place: df[o] = Wy^T @ g @ Wx with the SAME weight
+    matrices as the forward (an extract-shaped pass, but using the exact
+    transposes — not freshly derived extract weights)."""
+    hi, wi = in_hw
+    _, ho, wo, c = g_ref.shape
+    g = g_ref[0].astype(jnp.float32)                      # (Ho, Wo, C)
+    hp = jax.lax.Precision.HIGHEST
+    for o in range(n_objects):
+        x = bbox_ref[0, o, 0]
+        y = bbox_ref[0, o, 1]
+        w = bbox_ref[0, o, 2]
+        h = bbox_ref[0, o, 3]
+        sx = 1.0 / w
+        sy = 1.0 / h
+        tx = 2.0 * sx * (0.5 - (x + 0.5 * w))
+        ty = 2.0 * sy * (0.5 - (y + 0.5 * h))
+        wy = _axis_weights_in_kernel(sy, ty, ho, hi)      # (Ho, hi)
+        wx = _axis_weights_in_kernel(sx, tx, wo, wi)      # (Wo, wi)
+        # t1[p, j, c] = sum_i Wy[i, p] g[i, j, c]
+        t1 = jax.lax.dot_general(
+            wy, g.reshape(ho, wo * c),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)  # (hi, Wo*C)
+        t1 = t1.reshape(hi, wo, c)
+        # df[p, q, c] = sum_j t1[p, j, c] Wx[j, q]
+        df = jax.lax.dot_general(
+            wx, t1.transpose(1, 0, 2).reshape(wo, hi * c),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)  # (wi, hi*C)
+        df = df.reshape(wi, hi, c).transpose(1, 0, 2)     # (hi, wi, C)
+        out_ref[0, o] = df.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("in_hw",))
+def stn_place_multi_grad_pallas(g: Array, bbox: Array,
+                                in_hw: tuple[int, int]) -> Array:
+    """g (B, Ho, Wo, C), bbox (B, O, 4) -> df (B, O, h, w, C)."""
+    b, ho, wo, c = g.shape
+    o = bbox.shape[1]
+    hi, wi = in_hw
+    kernel = functools.partial(_place_grad_kernel, n_objects=o, in_hw=in_hw)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, o, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, o, hi, wi, c), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, o, hi, wi, c), g.dtype),
+    )(bbox, g)
+
+
+# --- differentiable fused entry point (used by ops.stn_place_multi on TPU) --
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused(features: Array, bbox: Array, out_hw: tuple[int, int],
+           in_hw: tuple[int, int]) -> Array:
+    return stn_place_multi_pallas(features, bbox, out_hw)
+
+
+def _fused_fwd(features, bbox, out_hw, in_hw):
+    return stn_place_multi_pallas(features, bbox, out_hw), bbox
+
+
+def _fused_bwd(out_hw, in_hw, bbox, g):
+    df = stn_place_multi_grad_pallas(g, bbox, in_hw)
+    return df, jnp.zeros_like(bbox)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def stn_place_multi_fused(features: Array, bbox: Array,
+                          out_hw: tuple[int, int] = (16, 16)) -> Array:
+    """Differentiable fused place-and-accumulate. Gradients flow to
+    ``features`` only; bbox comes from data in every model (the reference
+    never backprops through the matrices either)."""
+    return _fused(features, bbox, tuple(out_hw),
+                  (features.shape[2], features.shape[3]))
