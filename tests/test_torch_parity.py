@@ -370,3 +370,209 @@ def test_stackgan_g_forward_parity_with_torch_replica():
                   jnp.asarray(text), train=False, ca_rng=None)
     got = np.asarray(out["img"]).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLEVR STAGE1_G parity (learned label embedding, BBOX_NET over embedded
+# labels with c_dim = CONDITION_DIM = 16, 4 objects, no CA)
+# ---------------------------------------------------------------------------
+
+CLCFG = dataclasses.replace(common.CLEVR, gf_dim=8, df_dim=8)
+
+
+class ClevrG_Torch(tnn.Module):
+    """Replica of code/clevr/model.py:113-192."""
+
+    def __init__(self):
+        super().__init__()
+        ngf, ef, zdim = CLCFG.ngf, 16, CLCFG.z_dim
+        self.label = tnn.Sequential(tnn.Linear(13, ef, bias=False),
+                                    tnn.BatchNorm1d(ef), tnn.ReLU(True))
+        self.bbox_net = tnn.Module()
+        self.bbox_net.encode = tnn.Sequential(
+            conv3x3_t(ef, ef // 2, 2), tnn.LeakyReLU(0.2, True),
+            conv3x3_t(ef // 2, ef // 4, 2), tnn.BatchNorm2d(ef // 4),
+            tnn.LeakyReLU(0.2, True),
+            conv3x3_t(ef // 4, ef // 8, 2), tnn.BatchNorm2d(ef // 8),
+            tnn.LeakyReLU(0.2, True))
+        self.fc = tnn.Sequential(
+            tnn.Linear(zdim + 8, ngf * 4 * 4, bias=False),
+            tnn.BatchNorm1d(ngf * 4 * 4), tnn.ReLU(True))
+        self.local1 = up_block_t(ef, ngf // 2)
+        self.local2 = up_block_t(ngf // 2, ngf // 4)
+        self.upsample1 = up_block_t(ngf, ngf // 2)
+        self.upsample2 = up_block_t(ngf // 2, ngf // 4)
+        self.upsample3 = up_block_t(ngf // 2, ngf // 8)
+        self.upsample4 = up_block_t(ngf // 8, ngf // 16)
+        self.img = tnn.Sequential(conv3x3_t(ngf // 16, 3), tnn.Tanh())
+
+    def forward(self, noise, t_inv, onehot):
+        b = noise.shape[0]
+        ngf, ef = CLCFG.ngf, 16
+        locals_sum = torch.zeros(b, ngf // 4, 16, 16)
+        local_labels = torch.zeros(b, 4, ef)
+        for idx in range(4):
+            lab = self.label(onehot[:, idx])
+            local_labels[:, idx] = lab
+            lab4 = lab.view(b, ef, 1, 1).repeat(1, 1, 4, 4)
+            h = self.local2(self.local1(lab4))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx], h.shape)
+        layout = torch.zeros(b, ef, 16, 16)
+        for idx in range(4):
+            l16 = local_labels[:, idx].view(b, ef, 1, 1).repeat(1, 1, 16, 16)
+            layout = layout + stn_t(l16, t_inv[:, idx], l16.shape)
+        bbox_code = self.bbox_net.encode(layout).view(b, -1)
+        h = self.fc(torch.cat([noise, bbox_code], 1)).view(b, ngf, 4, 4)
+        h = self.upsample2(self.upsample1(h))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.upsample4(self.upsample3(h))
+        return self.img(h)
+
+
+def test_clevr_g_forward_parity_with_torch_replica():
+    tg = _randomize(ClevrG_Torch(), seed=31)
+    tg.eval()
+    rng = np.random.RandomState(4)
+    b = 2
+    z = rng.randn(b, CLCFG.z_dim).astype(np.float32)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 4)),
+                     rng.uniform(0.05, 0.5, (b, 4)),
+                     rng.uniform(0.2, 0.4, (b, 4)),
+                     rng.uniform(0.2, 0.4, (b, 4))], -1).astype(np.float32)
+    onehot = np.zeros((b, 4, 13), np.float32)
+    for i in range(b):
+        for j in range(4):
+            onehot[i, j, rng.randint(13)] = 1.0
+    theta = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want = tg(torch.from_numpy(z), torch.from_numpy(theta),
+                  torch.from_numpy(onehot)).numpy()
+
+    sd = {k: v.numpy() for k, v in tg.state_dict().items()}
+    params, stats = import_stage1_g({"netG": sd}, CLCFG)
+    g = Stage1G(CLCFG)
+    variables = g.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                       jnp.asarray(bbox), jnp.asarray(onehot), None,
+                       train=False, ca_rng=None)
+    assert (jax.tree.structure({"p": variables["params"],
+                                "s": variables["batch_stats"]})
+            == jax.tree.structure({"p": params, "s": stats}))
+    out = g.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(z), jnp.asarray(bbox), jnp.asarray(onehot),
+                  None, train=False, ca_rng=None)
+    got = np.asarray(out["img"]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLEVR STAGE1_D parity (3+13 local conv, 4 objects, 13-dim cond head)
+# ---------------------------------------------------------------------------
+
+class ClevrD_Torch(tnn.Module):
+    """Replica of code/clevr/model.py:196-260 + D_GET_LOGITS :43-70."""
+
+    def __init__(self):
+        super().__init__()
+        ndf = NDF
+        self.local = tnn.Sequential(
+            tnn.Conv2d(3 + 13, ndf * 2, 4, 1, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True))
+        self.conv1 = tnn.Conv2d(3, ndf, 4, 2, 1, bias=False)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(ndf * 2)
+        self.conv3 = tnn.Conv2d(ndf * 4, ndf * 4, 4, 2, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(ndf * 4)
+        self.conv4 = tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False)
+        self.bn4 = tnn.BatchNorm2d(ndf * 8)
+        self.head = tnn.Sequential(
+            conv3x3_t(ndf * 8 + 13, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4))
+        self.act = tnn.LeakyReLU(0.2, True)
+
+    def forward(self, image, label, t_fwd, t_inv, cond):
+        b = image.shape[0]
+        locals_sum = torch.zeros(b, NDF * 2, 16, 16)
+        for idx in range(4):
+            lab = label[:, idx].view(b, 13, 1, 1).repeat(1, 1, 16, 16)
+            patch = stn_t(image, t_fwd[:, idx], (b, image.shape[1], 16, 16))
+            h = self.local(torch.cat([patch, lab], 1))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx],
+                                            (b, h.shape[1], 16, 16))
+        h = self.act(self.conv1(image))
+        h = self.act(self.bn2(self.conv2(h)))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.act(self.bn3(self.conv3(h)))
+        h = self.act(self.bn4(self.conv4(h)))
+        c = cond.view(b, 13, 1, 1).repeat(1, 1, 4, 4)
+        return self.head(torch.cat([h, c], 1)).view(-1)
+
+
+def test_clevr_d_forward_parity_with_torch_replica():
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D
+    from multiple_objects_gan_tpu.ops import transformation_matrix
+
+    td = _randomize(ClevrD_Torch(), seed=41)
+    td.eval()
+    rng = np.random.RandomState(6)
+    b = 2
+    img = rng.randn(b, 3, 64, 64).astype(np.float32).clip(-1, 1)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 4)),
+                     rng.uniform(0.05, 0.5, (b, 4)),
+                     rng.uniform(0.2, 0.4, (b, 4)),
+                     rng.uniform(0.2, 0.4, (b, 4))], -1).astype(np.float32)
+    onehot = np.zeros((b, 4, 13), np.float32)
+    for i in range(b):
+        for j in range(4):
+            onehot[i, j, rng.randint(13)] = 1.0
+    # condition = clamped label sum (code/clevr/miscc/utils.py:98-99)
+    cond = onehot.sum(1).clip(0.0, 1.0)
+    t_fwd = np.asarray(transformation_matrix(jnp.asarray(bbox)))
+    t_inv = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want = td(torch.from_numpy(img), torch.from_numpy(onehot),
+                  torch.from_numpy(t_fwd), torch.from_numpy(t_inv),
+                  torch.from_numpy(cond)).numpy()
+
+    d = Stage1D(CLCFG)
+    sd = td.state_dict()
+
+    def conv_k(key):
+        return np.transpose(sd[key].numpy(), (2, 3, 1, 0))
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    lbn_p, lbn_s = bn("local.1")
+    bn2p, bn2s = bn("bn2")
+    bn3p, bn3s = bn("bn3")
+    bn4p, bn4s = bn("bn4")
+    hbn_p, hbn_s = bn("head.1")
+    params = {
+        "local": {"Conv_0": {"kernel": conv_k("local.0.weight")},
+                  "TorchBatchNorm_0": lbn_p},
+        "conv1": {"kernel": conv_k("conv1.weight")},
+        "conv2": {"kernel": conv_k("conv2.weight")},
+        "conv3": {"kernel": conv_k("conv3.weight")},
+        "conv4": {"kernel": conv_k("conv4.weight")},
+        "bn2": bn2p, "bn3": bn3p, "bn4": bn4p,
+        "get_cond_logits": {
+            "Conv3x3_0": {"Conv_0": {"kernel": conv_k("head.0.weight")}},
+            "TorchBatchNorm_0": hbn_p,
+            "Conv_0": {"kernel": conv_k("head.3.weight"),
+                       "bias": sd["head.3.bias"].numpy()}},
+    }
+    stats = {"local": {"TorchBatchNorm_0": lbn_s},
+             "bn2": bn2s, "bn3": bn3s, "bn4": bn4s,
+             "get_cond_logits": {"TorchBatchNorm_0": hbn_s}}
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    variables = {"params": params, "batch_stats": stats}
+    feat = d.apply(variables, img_nhwc, jnp.asarray(onehot),
+                   jnp.asarray(bbox), train=False)
+    got = d.apply(variables, feat, jnp.asarray(cond), train=False,
+                  method="cond_logits")
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
