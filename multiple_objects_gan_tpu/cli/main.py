@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="generate a synthetic dataset when data is absent")
     p.add_argument("--profile", default="",
                    help="directory for a jax.profiler trace of steps 2-5")
+    p.add_argument("--stochastic_ca", action="store_true",
+                   help="reparametrize CA with fresh noise at eval "
+                        "(reference eval behavior, stackgan "
+                        "model.py:66-71) instead of c = mu")
     p.add_argument("--eval_mode", default="auto",
                    choices=["auto", "sample", "sampling", "gen_example"],
                    help="attngan eval path: auto follows the reference "

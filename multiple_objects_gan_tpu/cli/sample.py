@@ -18,13 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.train.step import create_state, make_sample_fn
-from multiple_objects_gan_tpu.utils.images import (
-    caption_tile,
-    draw_bboxes,
-    make_grid,
-    save_grid,
-    to_uint8,
-)
+from multiple_objects_gan_tpu.utils.images import save_grid
 
 CLEVR_SHAPE_NAMES = {0: "cube", 1: "cylinder", 2: "sphere"}
 CLEVR_COLOR_NAMES = {0: "gray", 1: "red", 2: "blue", 3: "green", 4: "brown",
@@ -72,17 +66,25 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
                       "randomly initialized weights", flush=True)
     sample_fn = make_sample_fn(mcfg, g_module)
 
-    datapath = os.path.join(cfg.DATA_DIR, "test")
-    labels, bboxes = load_validation_layouts(datapath)
+    # real test items come from the dataset (image + layout), matching the
+    # reference's val_image tile (trainer.py:286-292; clevr iterates the
+    # test loader, trainer.py:220-236)
+    if variant == "clevr":
+        from multiple_objects_gan_tpu.data.datasets import ClevrDataset
+        ds = ClevrDataset(cfg.DATA_DIR, split="test",
+                          imsize=int(cfg.IMSIZE), hflip=False, seed=seed)
+    else:
+        from multiple_objects_gan_tpu.data.datasets import MultiMnistDataset
+        ds = MultiMnistDataset(cfg.DATA_DIR, split="test")
     rnd = np.random.RandomState(seed)
     out_dir = os.path.join(output_dir, "samples")
     os.makedirs(out_dir, exist_ok=True)
 
     n_var = 9
     for s in range(num_samples):
-        idx = rnd.randint(len(labels))
-        lab = labels[idx].copy()
-        bb = bboxes[idx].copy()
+        item = ds[rnd.randint(len(ds))]
+        lab = item["label_onehot"].copy()
+        bb = item["bbox"].copy()
         if num_objects_override is not None:
             lab, bb = _layout_surgery(lab, bb, num_objects_override, rnd,
                                       mcfg.label_dim)
@@ -94,16 +96,57 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
                               (n_var, mcfg.z_dim))
         fakes = np.asarray(sample_fn(state.g_params, state.g_stats, z,
                                      bb_t, lab_t, None))
-        tiles = [to_uint8(f) for f in fakes]
+        imsize = fakes.shape[1]
+
+        # 20-tile composition (trainer.py:307-341): row 1 = real + 9 fakes
+        # with white bbox edges, row 2 = the caption text strip chunked
+        # into 10 tiles; saved with nrow=10.
+        tiles = np.concatenate([item["image"][None].astype(np.float32),
+                                fakes], axis=0)         # (10, H, W, C)
+        if tiles.shape[-1] == 1:
+            tiles = np.repeat(tiles, 3, axis=-1)
         if draw_bbox:
-            tiles = [draw_bboxes(t, bb) for t in tiles]
-        caption = _caption_lines(lab, variant)
-        tiles.append(caption_tile(caption, tiles[0].shape[:2]))
-        grid = make_grid(np.stack([t / 127.5 - 1.0 for t in tiles]), nrow=5)
-        from PIL import Image
-        Image.fromarray(grid).save(os.path.join(out_dir, f"sample_{s:03d}.png"))
+            _draw_white_bbox_edges(tiles, bb, imsize)
+        text_tiles = _text_tiles(_caption_lines(lab, variant), imsize)
+        grid20 = np.concatenate([tiles, text_tiles], axis=0)  # (20, H, W, 3)
+        save_grid(grid20, os.path.join(out_dir, f"sample_{s:03d}.png"),
+                  nrow=10)
     print(f"wrote {num_samples} sample grids to {out_dir}")
     return out_dir
+
+
+def _draw_white_bbox_edges(tiles: np.ndarray, bb: np.ndarray,
+                           imsize: int) -> None:
+    """White 1-px rectangle edges on every tile, in place
+    (trainer.py:313-327 — value 1.0 == white after [-1, 1] mapping)."""
+    for bbv in np.asarray(bb).reshape(-1, 4):
+        x, y = int(imsize * bbv[0]), int(imsize * bbv[1])
+        w = min(int(imsize * bbv[2]), imsize - 1)
+        h = min(int(imsize * bbv[3]), imsize - 1)
+        while x + w >= imsize:
+            x -= 1
+            w -= 1
+        while y + h >= imsize:
+            y -= 1
+            h -= 1
+        if x <= -1:
+            break
+        tiles[:, y, x:x + w] = 1.0
+        tiles[:, y:y + h, x] = 1.0
+        tiles[:, y + h, x:x + w] = 1.0
+        tiles[:, y:y + h, x + w] = 1.0
+
+
+def _text_tiles(lines, imsize: int) -> np.ndarray:
+    """(10, imsize, imsize, 3) caption-text row in [-1, 1]: one white
+    strip with the labels, chunked into 10 tiles (trainer.py:330-340)."""
+    from PIL import Image, ImageDraw
+
+    strip = Image.new("RGB", (imsize * 10, imsize), (255, 255, 255))
+    ImageDraw.Draw(strip).text((10, 10), ", ".join(lines), fill=(0, 0, 0))
+    arr = np.asarray(strip, np.float32) / 127.5 - 1.0
+    return np.stack([arr[:, i * imsize:(i + 1) * imsize]
+                     for i in range(10)])
 
 
 def _dummy_d(mcfg):

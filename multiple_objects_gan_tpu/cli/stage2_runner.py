@@ -179,7 +179,11 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
                         (n_var, 1))
         z = jax.random.normal(jax.random.fold_in(rng, s),
                               (n_var, s1_cfg.z_dim))
-        _, fakes = gen(z, bbox_s1, bbox_s2, labels, text, None)
+        # --stochastic_ca: fresh CA noise at eval like the reference
+        # (model.py:66-71); default keeps the deterministic c = mu path
+        ca_rng = (jax.random.fold_in(rng, 10_000 + s)
+                  if getattr(args, "stochastic_ca", False) else None)
+        _, fakes = gen(z, bbox_s1, bbox_s2, labels, text, ca_rng)
         tiles = [draw_bboxes(to_uint8(f), item["bbox_s2"])
                  for f in np.asarray(fakes)]
         real = to_uint8(item["image"])

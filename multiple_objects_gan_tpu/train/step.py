@@ -394,12 +394,16 @@ def make_stage2_train_step(cfg, s1_cfg, g1_module, g2_module, d2_module,
 
 
 def make_sample_fn(cfg: Stage1Config, g_module) -> Callable:
-    """Eval-mode generation: running-stats BN, deterministic CA (c = mu)."""
+    """Eval-mode generation: running-stats BN. CA is deterministic
+    (c = mu) unless ``ca_rng`` is passed — the reference reparametrizes
+    with fresh noise at eval too (code/coco/stackgan/model.py:66-71), so
+    FID-parity sampling passes an rng (--stochastic_ca)."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def sample(g_params, g_stats, z, bbox, labels, text=None):
+    def sample(g_params, g_stats, z, bbox, labels, text=None, ca_rng=None):
         out = g_module.apply({"params": g_params, "batch_stats": g_stats},
-                             z, bbox, labels, text, train=False, ca_rng=None)
+                             z, bbox, labels, text, train=False,
+                             ca_rng=ca_rng)
         return out["img"]
 
     return sample

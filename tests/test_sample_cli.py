@@ -1,10 +1,12 @@
-"""Sampling-path helpers (layout surgery, captions)."""
+"""Sampling-path helpers (layout surgery, captions, 20-tile composition)."""
 
 import numpy as np
 
 from multiple_objects_gan_tpu.cli.sample import (
     _caption_lines,
+    _draw_white_bbox_edges,
     _layout_surgery,
+    _text_tiles,
 )
 
 
@@ -24,6 +26,24 @@ def test_layout_surgery_extend():
     assert l5.shape == (5, 10) and b5.shape == (5, 4)
     assert np.all(l5.sum(-1) == 1.0)        # new labels are one-hot
     assert np.all(b5[3:] >= 0.0) and np.all(b5[3:, :2] <= 0.7)
+
+
+def test_text_tiles_shape_and_chunking():
+    tiles = _text_tiles(["3", "5", "7"], 64)
+    assert tiles.shape == (10, 64, 64, 3)
+    # white background everywhere except the text in the first tiles
+    assert np.all(tiles[-1] == 1.0)
+    assert tiles[0].min() < 1.0
+
+
+def test_draw_white_bbox_edges():
+    tiles = np.zeros((10, 64, 64, 3), np.float32) - 1.0
+    bb = np.array([[0.25, 0.25, 0.5, 0.5],
+                   [-1.0, -1.0, -1.0, -1.0]], np.float32)
+    _draw_white_bbox_edges(tiles, bb, 64)
+    assert np.all(tiles[:, 16, 16:48] == 1.0)   # top edge on every tile
+    assert np.all(tiles[:, 16:48, 16] == 1.0)   # left edge
+    assert tiles[0, 0, 0, 0] == -1.0            # background untouched
 
 
 def test_caption_lines():
