@@ -147,20 +147,9 @@ class AttnGanDataset:
             x_len = self.words_num
         return x, x_len
 
-    def __getitem__(self, index):
-        key = str(self.filenames[index])
-        img = Image.open(os.path.join(self.img_dir, key + ".jpg"))
-        img = img.convert("RGB").resize((268, 268), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0
-
-        # 256 crop + flip with bbox rescale (datasets.py:95-137)
-        flip = self._rng.rand() < 0.5
-        h1 = int(np.floor(12 * self._rng.rand()))
-        w1 = int(np.floor(12 * self._rng.rand()))
-        crop = arr[w1:w1 + 256, h1:h1 + 256]
-        if flip:
-            crop = crop[:, ::-1].copy()
-        bbox = self.bboxes[index]
+    def _scale_bbox(self, bbox, h1: int, w1: int, flip: bool) -> np.ndarray:
+        """bbox rescale under resize(268)->crop(256)->flip
+        (datasets.py:95-137)."""
         bbox_scaled = np.full_like(bbox, -1.0)
         for i in range(MAX_OBJECTS):
             bt = bbox[i]
@@ -177,6 +166,22 @@ class AttnGanDataset:
             if flip:
                 x = 1.0 - x - w
             bbox_scaled[i] = [x, y, w, h]
+        return bbox_scaled.astype(np.float32)
+
+    def __getitem__(self, index):
+        key = str(self.filenames[index])
+        img = Image.open(os.path.join(self.img_dir, key + ".jpg"))
+        img = img.convert("RGB").resize((268, 268), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+
+        # 256 crop + flip with bbox rescale (datasets.py:95-137)
+        flip = self._rng.rand() < 0.5
+        h1 = int(np.floor(12 * self._rng.rand()))
+        w1 = int(np.floor(12 * self._rng.rand()))
+        crop = arr[w1:w1 + 256, h1:h1 + 256]
+        if flip:
+            crop = crop[:, ::-1].copy()
+        bbox_scaled = self._scale_bbox(self.bboxes[index], h1, w1, flip)
 
         out = {}
         for s in self.imsizes:
@@ -191,11 +196,62 @@ class AttnGanDataset:
         caps, cap_len = self._get_caption(
             index * self.embeddings_num + sent_ix)
         out.update({
-            "bbox": bbox_scaled.astype(np.float32),
+            "bbox": bbox_scaled,
             "label_onehot": labels_to_onehot(self.labels[index]),
             "captions": caps,
             "cap_lens": np.int32(cap_len),
             "class_ids": np.int32(self.class_id[index]),
+        })
+        return out
+
+    def get_batch(self, idxs, threads: int = 16) -> dict:
+        """Batched fast path: native threaded JPEG decode at 268px
+        (native/loader.cpp thread pool) + vectorized crop/flip; the
+        sub-256 pyramid uses the same PIL bilinear as __getitem__, so the
+        two paths agree exactly given the same rng draw order."""
+        from multiple_objects_gan_tpu.data.native_loader import decode_batch
+
+        idxs = np.asarray(idxs)
+        n = len(idxs)
+        paths = [os.path.join(self.img_dir, str(self.filenames[i]) + ".jpg")
+                 for i in idxs]
+        arrs = decode_batch(paths, 268, 268, 3, threads=threads)
+
+        imgs256 = np.empty((n, 256, 256, 3), np.float32)
+        bbox_out = np.empty((n, MAX_OBJECTS, 4), np.float32)
+        caps = np.empty((n, self.words_num), np.int32)
+        lens = np.empty((n,), np.int32)
+        for j, i in enumerate(idxs):
+            flip = self._rng.rand() < 0.5
+            h1 = int(np.floor(12 * self._rng.rand()))
+            w1 = int(np.floor(12 * self._rng.rand()))
+            crop = arrs[j, w1:w1 + 256, h1:h1 + 256]
+            imgs256[j] = crop[:, ::-1] if flip else crop
+            bbox_out[j] = self._scale_bbox(self.bboxes[i], h1, w1, flip)
+            sent_ix = self._rng.randint(0, self.embeddings_num)
+            caps[j], lens[j] = self._get_caption(
+                int(i) * self.embeddings_num + sent_ix)
+
+        out = {}
+        for s in self.imsizes:
+            if s == 256:
+                out[f"image{s}"] = imgs256
+            else:
+                scaled = np.empty((n, s, s, 3), np.float32)
+                for j in range(n):
+                    im = Image.fromarray(
+                        ((imgs256[j] + 1) * 127.5).astype(np.uint8))
+                    scaled[j] = np.asarray(
+                        im.resize((s, s), Image.BILINEAR),
+                        np.float32) / 127.5 - 1.0
+                out[f"image{s}"] = scaled
+        out.update({
+            "bbox": bbox_out,
+            "label_onehot": np.stack(
+                [labels_to_onehot(self.labels[i]) for i in idxs]),
+            "captions": caps,
+            "cap_lens": lens,
+            "class_ids": self.class_id[idxs].astype(np.int32),
         })
         return out
 

@@ -123,6 +123,62 @@ class CocoStackganDataset:
         out["text_embedding"] = emb.astype(np.float32)
         return out
 
+    def _scale_all(self, bbox, ori, ims, h1, w1, flip):
+        out = np.full_like(bbox, -1.0, dtype=np.float32)
+        for i in range(self.max_objects):
+            if bbox[i][0] == -1:
+                break
+            out[i] = _rescale_bbox(bbox[i], ori, ims, h1, w1, flip)
+        return out
+
+    def get_batch(self, idxs, threads: int = 16) -> dict:
+        """Batched fast path: native threaded JPEG decode at ori_size
+        (native/loader.cpp thread pool) + vectorized crop/flip/bbox
+        rescale. Same rng draw order as __getitem__."""
+        from multiple_objects_gan_tpu.data.native_loader import decode_batch
+
+        idxs = np.asarray(idxs)
+        n = len(idxs)
+        paths = [os.path.join(self.img_dir, str(self.filenames[i]) + ".jpg")
+                 for i in idxs]
+        arrs = decode_batch(paths, self.ori_size, self.ori_size, 3,
+                            threads=threads)
+
+        size = self.imsize if self.crop else self.ori_size
+        imgs = np.empty((n, size, size, 3), np.float32)
+        bbox1 = np.empty((n, self.max_objects, 4), np.float32)
+        bbox2 = (np.empty((n, self.max_objects, 4), np.float32)
+                 if self.stage == 2 else None)
+        embs_out = np.empty((n, self.embeddings.shape[-1]), np.float32)
+        for j, i in enumerate(idxs):
+            embs = self.embeddings[i]
+            embs_out[j] = embs[self._rng.randint(embs.shape[0])]
+            if not self.crop:
+                imgs[j] = arrs[j]
+                bbox1[j] = self.bboxes[i]
+                continue
+            flip = self._rng.rand() < 0.5
+            margin = self.ori_size - self.imsize
+            h1 = int(np.floor(margin * self._rng.rand()))
+            w1 = int(np.floor(margin * self._rng.rand()))
+            crop = arrs[j, w1:w1 + self.imsize, h1:h1 + self.imsize]
+            imgs[j] = crop[:, ::-1] if flip else crop
+            bb = self.bboxes[i]
+            if self.stage == 1:
+                bbox1[j] = self._scale_all(bb, self.ori_size, self.imsize,
+                                           h1, w1, flip)
+            else:
+                bbox1[j] = self._scale_all(bb, 76, 64, h1, w1, flip)
+                bbox2[j] = self._scale_all(bb, self.ori_size, self.imsize,
+                                           h1, w1, flip)
+        out = {"image": imgs, "bbox": bbox1,
+               "label_onehot": np.stack(
+                   [labels_to_onehot(self.labels[i]) for i in idxs]),
+               "text_embedding": embs_out}
+        if bbox2 is not None:
+            out["bbox_s2"] = bbox2
+        return out
+
 
 def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
                          split: str = "train", seed: int = 0,

@@ -59,6 +59,8 @@ def decode_batch(paths: list[str], out_h: int, out_w: int, out_c: int,
     float32 in [-1, 1]. Uses the C++ thread pool when available."""
     n = len(paths)
     out = np.empty((n, out_h, out_w, out_c), np.float32)
+    # more workers than cores just thrash (bench hosts can have 1 core)
+    threads = max(1, min(threads, os.cpu_count() or 1, n))
     lib = get_lib()
     if lib is not None:
         buf = b"\0".join(p.encode() for p in paths) + b"\0"

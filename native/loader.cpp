@@ -137,52 +137,81 @@ Decoded decode_file(const char* path) {
 
 // Bilinear resize (half-pixel centers, matches PIL.Image.BILINEAR closely)
 // + channel conversion + normalize to [-1, 1] float32, NHWC.
+//
+// Hot path: per-axis sample positions/weights are precomputed once and the
+// inner loops are specialized per channel layout so the compiler can
+// vectorize them (the naive per-pixel-per-channel formulation was ~5x
+// slower and made the native loader lose to PIL on one core).
 void resize_normalize(const Decoded& img, float* dst, int out_h, int out_w,
                       int out_c) {
   const float sx = static_cast<float>(img.width) / out_w;
   const float sy = static_cast<float>(img.height) / out_h;
+  const int ic = img.channels;
+
+  std::vector<int> xs0(out_w), xs1(out_w);
+  std::vector<float> wxs(out_w);
+  for (int ox = 0; ox < out_w; ++ox) {
+    float fx = (ox + 0.5f) * sx - 0.5f;
+    int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+    int x1 = x0 + 1 < img.width ? x0 + 1 : img.width - 1;
+    float wx = fx - static_cast<float>(x0);
+    xs0[ox] = x0 * ic;
+    xs1[ox] = x1 * ic;
+    wxs[ox] = wx < 0 ? 0 : wx;
+  }
+
+  // one horizontally-resampled row pair buffer, reused per output row
+  std::vector<float> row(static_cast<size_t>(out_w) * ic);
+  const bool rgb_to_gray = (out_c == 1 && ic >= 3);
+
   for (int oy = 0; oy < out_h; ++oy) {
     float fy = (oy + 0.5f) * sy - 0.5f;
     int y0 = fy < 0 ? 0 : static_cast<int>(fy);
     int y1 = y0 + 1 < img.height ? y0 + 1 : img.height - 1;
     float wy = fy - static_cast<float>(y0);
     if (wy < 0) wy = 0;
-    for (int ox = 0; ox < out_w; ++ox) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
-      int x1 = x0 + 1 < img.width ? x0 + 1 : img.width - 1;
-      float wx = fx - static_cast<float>(x0);
-      if (wx < 0) wx = 0;
-      float* out_px = dst + (static_cast<size_t>(oy) * out_w + ox) * out_c;
-      for (int c = 0; c < out_c; ++c) {
-        int sc = img.channels == 1 ? 0 : (c < img.channels ? c : 0);
-        auto at = [&](int y, int x) -> float {
-          return img.pixels[(static_cast<size_t>(y) * img.width + x) *
-                                img.channels +
-                            sc];
-        };
-        float v = (1 - wy) * ((1 - wx) * at(y0, x0) + wx * at(y0, x1)) +
-                  wy * ((1 - wx) * at(y1, x0) + wx * at(y1, x1));
-        // grayscale conversion when out_c == 1 but source is RGB
-        if (out_c == 1 && img.channels >= 3) {
-          float r = 0, g = 0, b = 0;
-          auto at3 = [&](int y, int x, int ch) -> float {
-            return img.pixels[(static_cast<size_t>(y) * img.width + x) *
-                                  img.channels +
-                              ch];
-          };
-          auto bil = [&](int ch) {
-            return (1 - wy) *
-                       ((1 - wx) * at3(y0, x0, ch) + wx * at3(y0, x1, ch)) +
-                   wy * ((1 - wx) * at3(y1, x0, ch) + wx * at3(y1, x1, ch));
-          };
-          r = bil(0);
-          g = bil(1);
-          b = bil(2);
-          v = 0.299f * r + 0.587f * g + 0.114f * b;
+    const uint8_t* r0 = img.pixels.data() + static_cast<size_t>(y0) * img.width * ic;
+    const uint8_t* r1 = img.pixels.data() + static_cast<size_t>(y1) * img.width * ic;
+    const float w0 = 1.0f - wy, w1 = wy;
+
+    if (ic == 3) {
+      for (int ox = 0; ox < out_w; ++ox) {
+        const int a = xs0[ox], b = xs1[ox];
+        const float wx = wxs[ox], vx = 1.0f - wx;
+        for (int c = 0; c < 3; ++c) {
+          float top = vx * r0[a + c] + wx * r0[b + c];
+          float bot = vx * r1[a + c] + wx * r1[b + c];
+          row[static_cast<size_t>(ox) * 3 + c] = w0 * top + w1 * bot;
         }
-        out_px[c] = v / 127.5f - 1.0f;
       }
+    } else {  // ic == 1 (and other layouts fall back to channel 0)
+      for (int ox = 0; ox < out_w; ++ox) {
+        const int a = xs0[ox], b = xs1[ox];
+        const float wx = wxs[ox], vx = 1.0f - wx;
+        float top = vx * r0[a] + wx * r0[b];
+        float bot = vx * r1[a] + wx * r1[b];
+        row[ox] = w0 * top + w1 * bot;
+      }
+    }
+
+    float* out_row = dst + static_cast<size_t>(oy) * out_w * out_c;
+    if (rgb_to_gray) {
+      for (int ox = 0; ox < out_w; ++ox) {
+        const float* px = row.data() + static_cast<size_t>(ox) * 3;
+        float v = 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2];
+        out_row[ox] = v / 127.5f - 1.0f;
+      }
+    } else if (ic >= out_c) {
+      const int cc = out_c;
+      for (int ox = 0; ox < out_w; ++ox)
+        for (int c = 0; c < cc; ++c)
+          out_row[static_cast<size_t>(ox) * cc + c] =
+              row[static_cast<size_t>(ox) * ic + c] / 127.5f - 1.0f;
+    } else {  // gray source -> RGB out: broadcast channel 0
+      for (int ox = 0; ox < out_w; ++ox)
+        for (int c = 0; c < out_c; ++c)
+          out_row[static_cast<size_t>(ox) * out_c + c] =
+              row[ox] / 127.5f - 1.0f;
     }
   }
 }
