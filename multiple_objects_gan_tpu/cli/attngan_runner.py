@@ -381,10 +381,12 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
 
 
 def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
-                enc_vars, g_params, g_stats, output_dir: str, seed: int = 0):
+                enc_vars, g_params, g_stats, output_dir: str, seed: int = 0,
+                key: str = "gen_example"):
     """Free-text captions -> per-scale images + per-word attention maps
-    (trainer.py:581-667: saves <name>_g{k}.png per scale and
-    <name>_a{k}.png attention montages via build_super_images2)."""
+    (trainer.py:581-667: saves <save_dir>/<key>/0_s_<j>_g{k}.png per scale
+    and ..._a{k}.png attention montages via build_super_images2; key = the
+    caption file's stem, main.py:52-60)."""
     from multiple_objects_gan_tpu.data.attngan import tokenize
     from PIL import Image
 
@@ -409,7 +411,7 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
                   z, sent, words, caps == 0, bbox, labels,
                   train=False, ca_rng=None)
 
-    base = os.path.join(output_dir, "gen_example")
+    base = os.path.join(output_dir, key)
     os.makedirs(base, exist_ok=True)
     imgs = [np.asarray(x) for x in out["imgs"]]
     atts = [np.asarray(a) for a in out["att_maps"]]
@@ -437,9 +439,11 @@ def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
     Captions come from <DATA_DIR>/example_captions.txt (one per line) or a
     built-in default set."""
     cap_file = os.path.join(cfg.DATA_DIR, "example_captions.txt")
+    key = "gen_example"
     if os.path.isfile(cap_file):
         with open(cap_file) as f:
             captions = [line.strip() for line in f if line.strip()]
+        key = os.path.splitext(os.path.basename(cap_file))[0]
     else:
         captions = ["a man riding a horse on a beach",
                     "two dogs playing with a ball in a park"]
@@ -450,4 +454,4 @@ def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
     g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
                                   int(cfg.TEXT.WORDS_NUM))
     return gen_example(cfg, captions, ds, mcfg, g, text_enc, enc_vars,
-                       g_params, g_stats, output_dir, seed)
+                       g_params, g_stats, output_dir, seed, key=key)

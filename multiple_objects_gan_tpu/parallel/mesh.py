@@ -45,8 +45,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the batch axis sharded over the mesh."""
+    """Device-put a host batch with the batch axis sharded over the mesh.
+
+    Multi-host (multi-process) slices: each process passes its LOCAL shard
+    of the global batch (global_batch = local_batch * process_count) and
+    the global array is assembled via
+    ``jax.make_array_from_process_local_data`` — data never leaves the
+    host that loaded it; the mesh must span all processes' devices
+    (``make_mesh()`` over ``jax.devices()`` does). Single-process is a
+    plain sharded device_put.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
