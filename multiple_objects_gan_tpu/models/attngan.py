@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from multiple_objects_gan_tpu.nn.attention import GlobalAttention
 from multiple_objects_gan_tpu.nn.blocks import (
+    conv_dt,
     Block3x3LeakReLU,
     Conv3x3,
     DownBlock,
@@ -188,18 +189,18 @@ class DNet64(nn.Module):
     def setup(self):
         ndf = self.cfg.df_dim
         ki = orthogonal_init()
-        self.conv1 = nn.Conv(ndf, (4, 4), strides=(2, 2), padding=1,
+        self.conv1 = conv_dt(ndf, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False, kernel_init=ki)
-        self.conv2 = nn.Conv(ndf * 2, (4, 4), strides=(2, 2), padding=1,
+        self.conv2 = conv_dt(ndf * 2, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False, kernel_init=ki)
         self.bn2 = TorchBatchNorm()
-        self.conv3 = nn.Conv(ndf * 4, (4, 4), strides=(2, 2), padding=1,
+        self.conv3 = conv_dt(ndf * 4, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False, kernel_init=ki)
         self.bn3 = TorchBatchNorm()
-        self.conv4 = nn.Conv(ndf * 8, (4, 4), strides=(2, 2), padding=1,
+        self.conv4 = conv_dt(ndf * 8, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False, kernel_init=ki)
         self.bn4 = TorchBatchNorm()
-        self.local_conv = nn.Conv(ndf * 2, (4, 4), strides=(1, 1), padding=1,
+        self.local_conv = conv_dt(ndf * 2, (4, 4), strides=(1, 1), padding=1,
                                   use_bias=False, kernel_init=ki)
         self.local_bn = TorchBatchNorm()
         self.cond_head = AttnDGetLogits(self.cfg, bcondition=True)
@@ -249,7 +250,7 @@ class AttnDGetLogits(nn.Module):
             c = jnp.broadcast_to(c_code.reshape(b, 1, 1, d), (b, 4, 4, d))
             x = jnp.concatenate([x, c], axis=-1)
             x = Block3x3LeakReLU(ndf * 8, name="jointConv")(x, train)
-        x = nn.Conv(1, (4, 4), strides=(4, 4), padding=0, use_bias=True,
+        x = conv_dt(1, (4, 4), strides=(4, 4), padding=0, use_bias=True,
                     kernel_init=orthogonal_init(), name="outlogits")(x)
         return jax.nn.sigmoid(x).reshape(-1)
 

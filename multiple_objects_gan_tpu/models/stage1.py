@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from multiple_objects_gan_tpu.models.common import Stage1Config
 from multiple_objects_gan_tpu.nn.blocks import (
+    conv_dt,
     Conv3x3,
     Dense,
     TorchBatchNorm,
@@ -119,18 +120,18 @@ class Stage1D(nn.Module):
         cfg = self.cfg
         ndf = cfg.df_dim
         self.local = ObjectPathwayD(ndf)
-        self.conv1 = nn.Conv(ndf, (4, 4), strides=(2, 2), padding=1,
+        self.conv1 = conv_dt(ndf, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False,
                              kernel_init=nn.initializers.normal(0.02))
-        self.conv2 = nn.Conv(ndf * 2, (4, 4), strides=(2, 2), padding=1,
+        self.conv2 = conv_dt(ndf * 2, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False,
                              kernel_init=nn.initializers.normal(0.02))
         self.bn2 = TorchBatchNorm()
-        self.conv3 = nn.Conv(ndf * 4, (4, 4), strides=(2, 2), padding=1,
+        self.conv3 = conv_dt(ndf * 4, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False,
                              kernel_init=nn.initializers.normal(0.02))
         self.bn3 = TorchBatchNorm()
-        self.conv4 = nn.Conv(ndf * 8, (4, 4), strides=(2, 2), padding=1,
+        self.conv4 = conv_dt(ndf * 8, (4, 4), strides=(2, 2), padding=1,
                              use_bias=False,
                              kernel_init=nn.initializers.normal(0.02))
         self.bn4 = TorchBatchNorm()

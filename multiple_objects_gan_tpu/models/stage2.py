@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from multiple_objects_gan_tpu.models.common import Stage1Config
 from multiple_objects_gan_tpu.nn.blocks import (
+    conv_dt,
     Conv3x3,
     ResBlock,
     TorchBatchNorm,
@@ -76,12 +77,12 @@ class Stage2G(nn.Module):
         # encode 64px stage-1 image to 16x16 x 4ngf (model.py:344-352)
         x = Conv3x3(ngf, name="enc_conv0")(stage1_img)
         x = nn.relu(x)
-        x = nn.Conv(ngf * 2, (4, 4), strides=(2, 2), padding=1,
+        x = conv_dt(ngf * 2, (4, 4), strides=(2, 2), padding=1,
                     use_bias=False, kernel_init=normal_init(),
                     name="enc_conv1")(x)
         x = TorchBatchNorm(name="enc_bn1")(x, train)
         x = nn.relu(x)
-        x = nn.Conv(ngf * 4, (4, 4), strides=(2, 2), padding=1,
+        x = conv_dt(ngf * 4, (4, 4), strides=(2, 2), padding=1,
                     use_bias=False, kernel_init=normal_init(),
                     name="enc_conv2")(x)
         x = TorchBatchNorm(name="enc_bn2")(x, train)
@@ -142,15 +143,15 @@ class Stage2D(nn.Module):
     def setup(self):
         ndf = self.cfg.df_dim
         ki = normal_init()
-        self.local_conv1 = nn.Conv(ndf * 2, (4, 4), strides=(1, 1), padding=1,
+        self.local_conv1 = conv_dt(ndf * 2, (4, 4), strides=(1, 1), padding=1,
                                    use_bias=False, kernel_init=ki)
         self.local_bn1 = TorchBatchNorm()
-        self.local_conv2 = nn.Conv(ndf * 2, (4, 4), strides=(1, 1), padding=1,
+        self.local_conv2 = conv_dt(ndf * 2, (4, 4), strides=(1, 1), padding=1,
                                    use_bias=False, kernel_init=ki)
         self.local_bn2 = TorchBatchNorm()
         for i, mult in [(1, 1), (2, 2), (3, 4), (4, 8), (5, 16), (6, 32)]:
             setattr(self, f"conv{i}",
-                    nn.Conv(ndf * mult, (4, 4), strides=(2, 2), padding=1,
+                    conv_dt(ndf * mult, (4, 4), strides=(2, 2), padding=1,
                             use_bias=False, kernel_init=ki))
         self.conv7 = Conv3x3(ndf * 16)
         self.conv8 = Conv3x3(ndf * 8)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multiple_objects_gan_tpu.nn.blocks import (
+    conv_dt,
     Conv3x3,
     Dense,
     TorchBatchNorm,
@@ -139,7 +140,7 @@ class ObjectPathwayD(nn.Module):
         lab = jnp.broadcast_to(labels.reshape(b * o, 1, 1, l),
                                (b * o, 16, 16, l))
         x = jnp.concatenate([patches, lab], axis=-1)
-        x = nn.Conv(self.ndf * 2, (4, 4), strides=(1, 1), padding=1,
+        x = conv_dt(self.ndf * 2, (4, 4), strides=(1, 1), padding=1,
                     use_bias=False, kernel_init=self.kernel_init)(x)  # -> 15x15
         x = TorchBatchNorm()(x, train)
         x = nn.leaky_relu(x, 0.2)
@@ -203,7 +204,7 @@ class DGetLogits(nn.Module):
             x = nn.leaky_relu(x, 0.2)
         else:
             x = h_code
-        x = nn.Conv(1, (4, 4), strides=(4, 4), padding=0, use_bias=True,
+        x = conv_dt(1, (4, 4), strides=(4, 4), padding=0, use_bias=True,
                     kernel_init=self.kernel_init,
                     bias_init=nn.initializers.zeros)(x)
         return x.reshape(-1)
