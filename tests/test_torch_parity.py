@@ -465,6 +465,139 @@ def test_clevr_g_forward_parity_with_torch_replica():
 
 
 # ---------------------------------------------------------------------------
+# StackGAN STAGE2_G parity (encoder + hr_joint + ResBlocks + dual-scale
+# object pathway + 256px upsampling), through import_stage2_g
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from multiple_objects_gan_tpu.models.stage2 import COCO_S2
+
+S2CFG = _dc.replace(COCO_S2, gf_dim=16, df_dim=8, condition_dim=16,
+                    text_dim=24, d_cond_dim=16)
+
+
+class Stage2G_Torch(tnn.Module):
+    """Replica of code/coco/stackgan/model.py:311-442 (without the wrapped
+    frozen STAGE1_G: the 64px stage-1 image is an input, exactly like our
+    Stage2G), c_code = mu (deterministic eval path)."""
+
+    def __init__(self, r_num=2):
+        super().__init__()
+        ngf, ef = S2CFG.gf_dim, S2CFG.condition_dim
+        self.ca_fc = tnn.Linear(24, ef * 2, bias=True)
+        self.label = tnn.Sequential(tnn.Linear(ef + 81, ef, bias=False),
+                                    tnn.BatchNorm1d(ef), tnn.ReLU(True))
+        self.encoder = tnn.Sequential(
+            conv3x3_t(3, ngf), tnn.ReLU(True),
+            tnn.Conv2d(ngf, ngf * 2, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ngf * 2), tnn.ReLU(True),
+            tnn.Conv2d(ngf * 2, ngf * 4, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ngf * 4), tnn.ReLU(True))
+        self.hr_joint = tnn.Sequential(
+            conv3x3_t(ef * 2 + ngf * 4, ngf * 4),
+            tnn.BatchNorm2d(ngf * 4), tnn.ReLU(True))
+        blocks = []
+        for _ in range(r_num):
+            blk = tnn.Module()
+            blk.block = tnn.Sequential(
+                conv3x3_t(ngf * 4, ngf * 4), tnn.BatchNorm2d(ngf * 4),
+                tnn.ReLU(True), conv3x3_t(ngf * 4, ngf * 4),
+                tnn.BatchNorm2d(ngf * 4))
+            blocks.append(blk)
+        self.residual = tnn.ModuleList(blocks)
+        self.local1 = up_block_t(ef + ngf * 4, ngf * 2)
+        self.local2 = up_block_t(ngf * 2, ngf)
+        self.upsample1 = up_block_t(ngf * 4, ngf * 2)
+        self.upsample2 = up_block_t(ngf * 2, ngf)
+        self.upsample3 = up_block_t(ngf * 2, ngf // 2)
+        self.upsample4 = up_block_t(ngf // 2, ngf // 4)
+        self.img = tnn.Sequential(conv3x3_t(ngf // 4, 3), tnn.Tanh())
+
+    def forward(self, stage1_img, text, t_s2, t_inv_s1, t_inv_s2, onehot):
+        b = stage1_img.shape[0]
+        ngf, ef = S2CFG.gf_dim, S2CFG.condition_dim
+        encoded = self.encoder(stage1_img)                 # (b, 4ngf, 16, 16)
+        x = torch.relu(self.ca_fc(text))
+        c_code = x[:, :ef]                                 # mu (deterministic)
+        c_map = c_code.view(b, ef, 1, 1).repeat(1, 1, 16, 16)
+
+        local_labels = torch.zeros(b, 3, ef)
+        layout = torch.zeros(b, ef, 16, 16)
+        for idx in range(3):
+            lab = self.label(torch.cat([c_code, onehot[:, idx]], 1))
+            local_labels[:, idx] = lab
+            l16 = lab.view(b, ef, 1, 1).repeat(1, 1, 16, 16)
+            layout = layout + stn_t(l16, t_inv_s1[:, idx], l16.shape)
+        h = self.hr_joint(torch.cat([encoded, c_map, layout], 1))
+        for blk in self.residual:
+            h = torch.relu(blk.block(h) + h)               # ResBlock forward
+
+        h_locals = torch.zeros(b, ngf, 64, 64)
+        for idx in range(3):
+            l16 = local_labels[:, idx].view(b, ef, 1, 1).repeat(1, 1, 16, 16)
+            patch = stn_t(h, t_s2[:, idx], (b, h.shape[1], 16, 16))
+            cur = self.local2(self.local1(torch.cat([patch, l16], 1)))
+            h_locals = h_locals + stn_t(cur, t_inv_s2[:, idx],
+                                        h_locals.shape)
+
+        h = self.upsample2(self.upsample1(h))
+        h = torch.cat([h, h_locals], 1)
+        h = self.upsample4(self.upsample3(h))
+        return self.img(h)
+
+
+def test_stage2_g_forward_parity_with_torch_replica():
+    from multiple_objects_gan_tpu.io.torch_import import import_stage2_g
+    from multiple_objects_gan_tpu.models.stage2 import Stage2G
+    from multiple_objects_gan_tpu.ops import transformation_matrix
+
+    tg = _randomize(Stage2G_Torch(), seed=51)
+    tg.eval()
+    rng = np.random.RandomState(8)
+    b = 2
+    s1_img = rng.randn(b, 3, 64, 64).astype(np.float32).clip(-1, 1)
+    text = rng.randn(b, 24).astype(np.float32)
+    bb1 = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                    rng.uniform(0.05, 0.5, (b, 3)),
+                    rng.uniform(0.2, 0.4, (b, 3)),
+                    rng.uniform(0.2, 0.4, (b, 3))], -1).astype(np.float32)
+    bb2 = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                    rng.uniform(0.05, 0.5, (b, 3)),
+                    rng.uniform(0.2, 0.4, (b, 3)),
+                    rng.uniform(0.2, 0.4, (b, 3))], -1).astype(np.float32)
+    onehot = np.zeros((b, 3, 81), np.float32)
+    for i in range(b):
+        for j in range(3):
+            onehot[i, j, rng.randint(81)] = 1.0
+    t_s2 = np.asarray(transformation_matrix(jnp.asarray(bb2)))
+    t_inv_s1 = np.asarray(transformation_matrix_inverse(jnp.asarray(bb1)))
+    t_inv_s2 = np.asarray(transformation_matrix_inverse(jnp.asarray(bb2)))
+    with torch.no_grad():
+        want = tg(torch.from_numpy(s1_img), torch.from_numpy(text),
+                  torch.from_numpy(t_s2), torch.from_numpy(t_inv_s1),
+                  torch.from_numpy(t_inv_s2), torch.from_numpy(onehot)
+                  ).numpy()
+
+    sd = {k.replace("ca_fc", "ca_net.fc"): v.numpy()
+          for k, v in tg.state_dict().items()}
+    _, (params, stats) = import_stage2_g({"netG": sd}, None, S2CFG, r_num=2)
+    g2 = Stage2G(S2CFG, r_num=2)
+    s1_nhwc = jnp.asarray(s1_img.transpose(0, 2, 3, 1))
+    variables = g2.init(jax.random.PRNGKey(0), s1_nhwc, jnp.asarray(bb1),
+                        jnp.asarray(bb2), jnp.asarray(onehot),
+                        jnp.asarray(text), train=False, ca_rng=None)
+    assert (jax.tree.structure({"p": variables["params"],
+                                "s": variables["batch_stats"]})
+            == jax.tree.structure({"p": params, "s": stats}))
+    out = g2.apply({"params": params, "batch_stats": stats}, s1_nhwc,
+                   jnp.asarray(bb1), jnp.asarray(bb2), jnp.asarray(onehot),
+                   jnp.asarray(text), train=False, ca_rng=None)
+    got = np.asarray(out["img"]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # CLEVR STAGE1_D parity (3+13 local conv, 4 objects, 13-dim cond head)
 # ---------------------------------------------------------------------------
 
