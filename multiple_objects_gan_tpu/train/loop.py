@@ -155,7 +155,7 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
                          last_batch["label_onehot"][:b], text)
         save_grid(np.asarray(fake),
                   os.path.join(img_dir, f"fake_samples_epoch_{epoch:03d}.png"))
-        if epoch == 0:
+        if epoch == start_epoch:
             save_grid(last_batch["image"][:b],
                       os.path.join(img_dir, "real_samples.png"))
 

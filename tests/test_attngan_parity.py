@@ -217,3 +217,217 @@ def test_attngan_gnet_forward_parity():
     got2 = np.asarray(out["imgs"][1]).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got1, want1, atol=3e-4)
     np.testing.assert_allclose(got2, want2, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# D_NET64 (object pathway + Sigmoid cond/uncond heads) value parity
+# ---------------------------------------------------------------------------
+
+DCFG = dataclasses.replace(COCO_ATTN, df_dim=8, embedding_dim=16)
+NDF, NEF = DCFG.df_dim, DCFG.embedding_dim
+
+
+class AttnD64Torch(tnn.Module):
+    """Replica of code/coco/attngan/model.py:646-711 + D_GET_LOGITS
+    :616-642 (Sigmoid outputs)."""
+
+    def __init__(self):
+        super().__init__()
+        ndf, nef = NDF, NEF
+        self.conv1 = tnn.Conv2d(3, ndf, 4, 2, 1, bias=False)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(ndf * 2)
+        self.conv3 = tnn.Conv2d(ndf * 4, ndf * 4, 4, 2, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(ndf * 4)
+        self.conv4 = tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False)
+        self.bn4 = tnn.BatchNorm2d(ndf * 8)
+        self.local = tnn.Sequential(
+            tnn.Conv2d(3 + 81, ndf * 2, 4, 1, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True))
+        self.joint = tnn.Sequential(
+            conv3x3_t(ndf * 8 + nef, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True))
+        self.out_cond = tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4)
+        self.out_uncond = tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4)
+        self.act = tnn.LeakyReLU(0.2, True)
+
+    def forward(self, image, label, t_fwd, t_inv, sent):
+        b = image.shape[0]
+        locals_sum = torch.zeros(b, NDF * 2, 16, 16)
+        for idx in range(3):
+            lab = label[:, idx].view(b, 81, 1, 1).repeat(1, 1, 16, 16)
+            patch = stn_t(image, t_fwd[:, idx], (b, 3, 16, 16))
+            h = self.local(torch.cat([patch, lab], 1))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx],
+                                            (b, h.shape[1], 16, 16))
+        h = self.act(self.conv1(image))
+        h = self.act(self.bn2(self.conv2(h)))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.act(self.bn3(self.conv3(h)))
+        h = self.act(self.bn4(self.conv4(h)))
+        c = sent.view(b, NEF, 1, 1).repeat(1, 1, 4, 4)
+        cond = torch.sigmoid(self.out_cond(
+            self.joint(torch.cat([h, c], 1)))).view(-1)
+        uncond = torch.sigmoid(self.out_uncond(h)).view(-1)
+        return cond, uncond
+
+
+def _bn_split(sd, prefix):
+    return ({"scale": sd[f"{prefix}.weight"].numpy(),
+             "bias": sd[f"{prefix}.bias"].numpy()},
+            {"mean": sd[f"{prefix}.running_mean"].numpy(),
+             "var": sd[f"{prefix}.running_var"].numpy()})
+
+
+def _conv_k(sd, key):
+    return np.transpose(sd[key].numpy(), (2, 3, 1, 0))
+
+
+def test_attngan_d64_forward_parity():
+    from multiple_objects_gan_tpu.models.attngan import DNet64
+    from multiple_objects_gan_tpu.ops import transformation_matrix
+
+    td = _randomize(AttnD64Torch(), seed=61)
+    td.eval()
+    rng = np.random.RandomState(7)
+    b = 2
+    img = rng.randn(b, 3, 64, 64).astype(np.float32).clip(-1, 1)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3))], -1).astype(np.float32)
+    onehot = np.zeros((b, 3, 81), np.float32)
+    for i in range(b):
+        for j in range(3):
+            onehot[i, j, rng.randint(81)] = 1.0
+    sent = rng.randn(b, NEF).astype(np.float32)
+    t_fwd = np.asarray(transformation_matrix(jnp.asarray(bbox)))
+    t_inv = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want_c, want_u = td(torch.from_numpy(img), torch.from_numpy(onehot),
+                            torch.from_numpy(t_fwd),
+                            torch.from_numpy(t_inv),
+                            torch.from_numpy(sent))
+
+    sd = td.state_dict()
+    lbn_p, lbn_s = _bn_split(sd, "local.1")
+    bn2p, bn2s = _bn_split(sd, "bn2")
+    bn3p, bn3s = _bn_split(sd, "bn3")
+    bn4p, bn4s = _bn_split(sd, "bn4")
+    jbn_p, jbn_s = _bn_split(sd, "joint.1")
+    params = {
+        "conv1": {"kernel": _conv_k(sd, "conv1.weight")},
+        "conv2": {"kernel": _conv_k(sd, "conv2.weight")},
+        "conv3": {"kernel": _conv_k(sd, "conv3.weight")},
+        "conv4": {"kernel": _conv_k(sd, "conv4.weight")},
+        "bn2": bn2p, "bn3": bn3p, "bn4": bn4p,
+        "local_conv": {"kernel": _conv_k(sd, "local.0.weight")},
+        "local_bn": lbn_p,
+        "cond_head": {
+            "jointConv": {
+                "Conv3x3_0": {"Conv_0": {"kernel": _conv_k(sd, "joint.0.weight")}},
+                "TorchBatchNorm_0": jbn_p},
+            "outlogits": {"kernel": _conv_k(sd, "out_cond.weight"),
+                          "bias": sd["out_cond.bias"].numpy()}},
+        "uncond_head": {
+            "outlogits": {"kernel": _conv_k(sd, "out_uncond.weight"),
+                          "bias": sd["out_uncond.bias"].numpy()}},
+    }
+    stats = {"bn2": bn2s, "bn3": bn3s, "bn4": bn4s, "local_bn": lbn_s,
+             "cond_head": {"jointConv": {"TorchBatchNorm_0": jbn_s}}}
+
+    d = DNet64(DCFG)
+    variables = {"params": params, "batch_stats": stats}
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    h = d.apply(variables, img_nhwc, jnp.asarray(onehot), jnp.asarray(bbox),
+                train=False)
+    got_c = d.apply(variables, h, jnp.asarray(sent), train=False,
+                    method="cond_logits")
+    got_u = d.apply(variables, h, train=False, method="uncond_logits")
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_u), want_u.numpy(), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# D_NET128 (encode_image_by_16times stack, no object pathway) value parity
+# ---------------------------------------------------------------------------
+
+class AttnD128Torch(tnn.Module):
+    """Replica of code/coco/attngan/model.py:715-734 (+ shared blocks
+    :575-613)."""
+
+    def __init__(self):
+        super().__init__()
+        ndf = NDF
+        self.img_code_s16 = tnn.Sequential(
+            tnn.Conv2d(3, ndf, 4, 2, 1, bias=False), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 4), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 8), tnn.LeakyReLU(0.2, True))
+        self.img_code_s32 = tnn.Sequential(
+            tnn.Conv2d(ndf * 8, ndf * 16, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 16), tnn.LeakyReLU(0.2, True))
+        self.img_code_s32_1 = tnn.Sequential(
+            conv3x3_t(ndf * 16, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True))
+
+    def forward(self, x):
+        return self.img_code_s32_1(self.img_code_s32(self.img_code_s16(x)))
+
+
+def test_attngan_d128_forward_parity():
+    from multiple_objects_gan_tpu.models.attngan import DNetScale
+
+    td = _randomize(AttnD128Torch(), seed=71)
+    td.eval()
+    rng = np.random.RandomState(9)
+    img = rng.randn(2, 3, 128, 128).astype(np.float32).clip(-1, 1)
+    with torch.no_grad():
+        want = td(torch.from_numpy(img)).numpy()
+
+    sd = td.state_dict()
+    s16_p, s16_s = {}, {}
+    for j, (ci, bi) in enumerate([(0, None), (2, 3), (5, 6), (8, 9)]):
+        s16_p[f"Conv_{j}"] = {"kernel": _conv_k(sd, f"img_code_s16.{ci}.weight")}
+        if bi is not None:
+            p, s = _bn_split(sd, f"img_code_s16.{bi}")
+            s16_p[f"TorchBatchNorm_{j-1}"] = p
+            s16_s[f"TorchBatchNorm_{j-1}"] = s
+    s32bn_p, s32bn_s = _bn_split(sd, "img_code_s32.1")
+    s321bn_p, s321bn_s = _bn_split(sd, "img_code_s32_1.1")
+    params = {
+        "img_code_s16": s16_p,
+        "img_code_s32": {"Conv_0": {"kernel": _conv_k(sd, "img_code_s32.0.weight")},
+                         "TorchBatchNorm_0": s32bn_p},
+        "img_code_s32_1": {
+            "Conv3x3_0": {"Conv_0": {"kernel": _conv_k(sd, "img_code_s32_1.0.weight")}},
+            "TorchBatchNorm_0": s321bn_p},
+    }
+    stats = {"img_code_s16": s16_s,
+             "img_code_s32": {"TorchBatchNorm_0": s32bn_s},
+             "img_code_s32_1": {"TorchBatchNorm_0": s321bn_s}}
+
+    d = DNetScale(DCFG, scale=128, b_jcu=False)
+    # b_jcu=False drops the uncond head; the cond head params are unused in
+    # the feature forward, so init to discover the full tree then overlay
+    variables = d.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 128, 128, 3)), train=False)
+    import copy
+    full_p = copy.deepcopy(dict(jax.tree.map(np.asarray, variables["params"])))
+    full_s = copy.deepcopy(dict(jax.tree.map(np.asarray,
+                                             variables["batch_stats"])))
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = v
+    overlay(full_p, params)
+    overlay(full_s, stats)
+    got = d.apply({"params": full_p, "batch_stats": full_s},
+                  jnp.asarray(img.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=3e-4)
