@@ -191,7 +191,10 @@ def run_stackgan(args, cfg, output_dir, seed):
                          "(pass --synthetic to generate one)")
             from multiple_objects_gan_tpu.data.coco import (
                 write_synthetic_coco)
-            write_synthetic_coco(cfg.DATA_DIR, cfg.IMG_DIR, n=64, seed=seed)
+            # at least 2 full batches, else the drop-last loader is empty
+            write_synthetic_coco(cfg.DATA_DIR, cfg.IMG_DIR,
+                                 n=max(2 * int(cfg.TRAIN.BATCH_SIZE), 64),
+                                 seed=seed)
         ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                                  stage=1, imsize=int(cfg.IMSIZE))
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
@@ -210,7 +213,9 @@ def run_attngan(args, cfg, output_dir, seed):
             os.path.join(cfg.DATA_DIR, "train", "filenames.pickle")):
         from multiple_objects_gan_tpu.data.attngan import (
             write_synthetic_attngan)
-        write_synthetic_attngan(cfg.DATA_DIR, cfg.IMG_DIR, n=32, seed=seed)
+        write_synthetic_attngan(cfg.DATA_DIR, cfg.IMG_DIR,
+                                n=max(2 * int(cfg.TRAIN.BATCH_SIZE), 32),
+                                seed=seed)
     from multiple_objects_gan_tpu.cli.attngan_runner import run as run_a
     run_a(args, cfg, output_dir, seed)
 

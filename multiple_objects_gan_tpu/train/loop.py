@@ -49,6 +49,10 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
     every ``step_hook_every`` global steps (attention montages).
     Returns (state, last_metrics).
     """
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty loader: dataset has {len(loader.ds)} items but the "
+            f"drop-last batch size is {loader.bs} — no training would run")
     count = 0
     metrics: dict = {}
     for epoch in range(start_epoch, n_epochs):
