@@ -188,9 +188,9 @@ def run(args, cfg, output_dir: str, seed: int):
         return step_raw(state, enc_rep, batch, rng, lr_g, lr_d)
 
     @jax.jit
-    def viz_forward(g_params, g_stats, caps, lens, bbox, labels, z):
-        words, sent = text_enc.apply(enc_rep["text"], caps, lens,
-                                     train=False)
+    def viz_forward(g_params, g_stats, text_vars, caps, lens, bbox, labels,
+                    z):
+        words, sent = text_enc.apply(text_vars, caps, lens, train=False)
         out = g.apply({"params": g_params, "batch_stats": g_stats},
                       z, sent, words, caps == 0, bbox, labels,
                       train=False, ca_rng=None)
@@ -202,7 +202,8 @@ def run(args, cfg, output_dir: str, seed: int):
         lens = jnp.asarray(batch["cap_lens"][:nviz])
         z = jax.random.normal(jax.random.fold_in(rng, noise_key),
                               (nviz, mcfg.z_dim))
-        imgs, atts = viz_forward(state.g_params, state.g_stats, caps, lens,
+        imgs, atts = viz_forward(state.g_params, state.g_stats,
+                                 enc_rep["text"], caps, lens,
                                  jnp.asarray(batch["bbox"][:nviz]),
                                  jnp.asarray(batch["label_onehot"][:nviz]),
                                  z)
@@ -262,18 +263,21 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
     os.makedirs(save_dir, exist_ok=True)
     loader = Loader(ds, 1, shuffle=False, seed=seed)
 
+    # params/enc vars enter as arguments — baking full-width weights into
+    # the jaxpr as constants overflows the tunneled compile-request limit
     @jax.jit
-    def gen(caps, lens, bbox, labels, z):
-        words, sent = text_enc.apply(enc_vars["text"], caps, lens,
-                                     train=False)
+    def gen(g_vars, text_vars, caps, lens, bbox, labels, z):
+        words, sent = text_enc.apply(text_vars, caps, lens, train=False)
         # tile the single conditioning x9 with fresh noise per tile
         # (trainer.py:525-546)
-        out = g.apply({"params": g_params, "batch_stats": g_stats},
+        out = g.apply(g_vars,
                       z, jnp.tile(sent, (9, 1)), jnp.tile(words, (9, 1, 1)),
                       jnp.tile(caps == 0, (9, 1)),
                       jnp.tile(bbox, (9, 1, 1)),
                       jnp.tile(labels, (9, 1, 1)), train=False, ca_rng=None)
         return out["imgs"][-1]
+
+    g_vars = {"params": g_params, "batch_stats": g_stats}
 
     n_written = 0
     for step, batch in enumerate(loader.epoch(0)):
@@ -281,7 +285,8 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
             break
         z = jax.random.normal(jax.random.fold_in(rng, step),
                               (9, mcfg.z_dim))
-        fakes = np.asarray(gen(jnp.asarray(batch["captions"]),
+        fakes = np.asarray(gen(g_vars, enc_vars["text"],
+                               jnp.asarray(batch["captions"]),
                                jnp.asarray(batch["cap_lens"]),
                                jnp.asarray(batch["bbox"]),
                                jnp.asarray(batch["label_onehot"]), z))
@@ -337,13 +342,14 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit
-    def gen(batch_caps, batch_lens, bbox, labels, z):
-        words, sent = text_enc.apply(enc_vars["text"], batch_caps,
-                                     batch_lens, train=False)
-        out = g.apply({"params": g_params, "batch_stats": g_stats},
-                      z, sent, words, batch_caps == 0, bbox, labels,
-                      train=False, ca_rng=None)
+    def gen(g_vars, text_vars, batch_caps, batch_lens, bbox, labels, z):
+        words, sent = text_enc.apply(text_vars, batch_caps, batch_lens,
+                                     train=False)
+        out = g.apply(g_vars, z, sent, words, batch_caps == 0, bbox,
+                      labels, train=False, ca_rng=None)
         return out["imgs"][-1]
+
+    g_vars = {"params": g_params, "batch_stats": g_stats}
 
     written = 0
     limit = num_images or len(ds)
@@ -352,7 +358,8 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     for batch in loader.epoch(0):
         z = jax.random.normal(jax.random.fold_in(rng, written),
                               (bs, mcfg.z_dim))
-        imgs = np.asarray(gen(jnp.asarray(batch["captions"]),
+        imgs = np.asarray(gen(g_vars, enc_vars["text"],
+                              jnp.asarray(batch["captions"]),
                               jnp.asarray(batch["cap_lens"]),
                               jnp.asarray(batch["bbox"]),
                               jnp.asarray(batch["label_onehot"]), z))
@@ -405,11 +412,15 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
                     (b, mcfg.num_objects, 1))
     labels = jnp.zeros((b, mcfg.num_objects, mcfg.label_dim)
                        ).at[:, :, 0].set(1.0)
-    words, sent = text_enc.apply(enc_vars["text"], caps, lens, train=False)
+    @jax.jit
+    def _gen(g_vars, text_vars, caps, lens, bbox, labels, z):
+        words, sent = text_enc.apply(text_vars, caps, lens, train=False)
+        return g.apply(g_vars, z, sent, words, caps == 0, bbox, labels,
+                       train=False, ca_rng=None)
+
     z = jax.random.normal(rng, (b, mcfg.z_dim))
-    out = g.apply({"params": g_params, "batch_stats": g_stats},
-                  z, sent, words, caps == 0, bbox, labels,
-                  train=False, ca_rng=None)
+    out = _gen({"params": g_params, "batch_stats": g_stats},
+               enc_vars["text"], caps, lens, bbox, labels, z)
 
     base = os.path.join(output_dir, key)
     os.makedirs(base, exist_ok=True)

@@ -57,6 +57,12 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
     s1_vars = {"params": s1_state.g_params, "batch_stats": s1_state.g_stats}
 
     if not cfg.TRAIN.FLAG:
+        if (getattr(args, "synthetic", False) and not os.path.isfile(
+                os.path.join(cfg.DATA_DIR, "test", "filenames.pickle"))):
+            from multiple_objects_gan_tpu.data.coco import (
+                write_synthetic_coco)
+            write_synthetic_coco(cfg.DATA_DIR, cfg.IMG_DIR, n=32,
+                                 split="test", seed=seed)
         return sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2,
                              s1_vars, output_dir, seed)
 
@@ -155,15 +161,17 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
     ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="test",
                              stage=2, imsize=int(cfg.IMSIZE), seed=seed)
 
+    # params enter as ARGUMENTS: baking full-width weights into the jaxpr
+    # as constants overflows the tunneled backend's compile-request limit
     @jax.jit
-    def gen(z, bbox_s1, bbox_s2, labels, text, ca_rng):
-        s1_out = g1.apply(s1_vars, z, bbox_s1, labels, text, train=False,
+    def gen(s1_v, g2_v, z, bbox_s1, bbox_s2, labels, text, ca_rng):
+        s1_out = g1.apply(s1_v, z, bbox_s1, labels, text, train=False,
                           ca_rng=ca_rng)
-        out = g2.apply({"params": state.g_params,
-                        "batch_stats": state.g_stats},
-                       s1_out["img"], bbox_s1, bbox_s2, labels, text,
+        out = g2.apply(g2_v, s1_out["img"], bbox_s1, bbox_s2, labels, text,
                        train=False, ca_rng=ca_rng)
         return s1_out["img"], out["img"]
+
+    g2_vars = {"params": state.g_params, "batch_stats": state.g_stats}
 
     out_dir = os.path.join(output_dir, "samples")
     os.makedirs(out_dir, exist_ok=True)
@@ -183,7 +191,8 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
         # (model.py:66-71); default keeps the deterministic c = mu path
         ca_rng = (jax.random.fold_in(rng, 10_000 + s)
                   if getattr(args, "stochastic_ca", False) else None)
-        _, fakes = gen(z, bbox_s1, bbox_s2, labels, text, ca_rng)
+        _, fakes = gen(s1_vars, g2_vars, z, bbox_s1, bbox_s2, labels, text,
+                       ca_rng)
         tiles = [draw_bboxes(to_uint8(f), item["bbox_s2"])
                  for f in np.asarray(fakes)]
         real = to_uint8(item["image"])
