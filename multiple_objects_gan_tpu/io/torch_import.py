@@ -276,6 +276,46 @@ def load_torch_checkpoint(path: str) -> dict:
     return out
 
 
+def import_stage1_d(checkpoint: dict, mcfg) -> tuple[dict, dict]:
+    """Map a reference STAGE1_D state_dict -> (params, batch_stats).
+
+    Source layout: code/multi-mnist/model.py:193-257 (+ D_GET_LOGITS
+    :43-70); the reference saves netD as a BARE state_dict
+    (miscc/utils.py:165-168) and warm-starts it at trainer.py:64-68.
+    """
+    sd = checkpoint["netD"] if "netD" in checkpoint else checkpoint
+    lbn_p, lbn_s = _bn(sd, "local.1")
+    hbn_p, hbn_s = _bn(sd, "get_cond_logits.outlogits.1")
+    params = {
+        "local": {"Conv_0": {"kernel": _conv(sd, "local.0.weight")},
+                  "TorchBatchNorm_0": lbn_p},
+        "conv1": {"kernel": _conv(sd, "conv1.weight")},
+        "conv2": {"kernel": _conv(sd, "conv2.weight")},
+        "conv3": {"kernel": _conv(sd, "conv3.weight")},
+        "conv4": {"kernel": _conv(sd, "conv4.weight")},
+        "get_cond_logits": {
+            "Conv3x3_0": {"Conv_0": {
+                "kernel": _conv(sd, "get_cond_logits.outlogits.0.weight")}},
+            "TorchBatchNorm_0": hbn_p,
+            "Conv_0": {
+                "kernel": _conv(sd, "get_cond_logits.outlogits.3.weight"),
+                "bias": np.asarray(sd["get_cond_logits.outlogits.3.bias"],
+                                   np.float32)}},
+    }
+    stats = {"local": {"TorchBatchNorm_0": lbn_s},
+             "get_cond_logits": {"TorchBatchNorm_0": hbn_s}}
+    for i in (2, 3, 4):
+        p, s = _bn(sd, f"bn{i}")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    if "get_uncond_logits.outlogits.0.weight" in sd:  # stage-2-style head
+        params["get_uncond_logits"] = {"Conv_0": {
+            "kernel": _conv(sd, "get_uncond_logits.outlogits.0.weight"),
+            "bias": np.asarray(sd["get_uncond_logits.outlogits.0.bias"],
+                               np.float32)}}
+    return params, stats
+
+
 def maybe_load_reference_g(net_g_path: str, mcfg, state):
     """If NET_G points at a reference .pth, import G weights into state."""
     if not net_g_path or not os.path.exists(net_g_path):
@@ -285,3 +325,14 @@ def maybe_load_reference_g(net_g_path: str, mcfg, state):
     merged_params = {**state.g_params, **params}
     merged_stats = {**state.g_stats, **stats}
     return state.replace(g_params=merged_params, g_stats=merged_stats)
+
+
+def maybe_load_reference_d(net_d_path: str, mcfg, state):
+    """If NET_D points at a reference .pth, import D weights into state."""
+    if not net_d_path or not os.path.exists(net_d_path):
+        return None
+    ckpt = load_torch_checkpoint(net_d_path)
+    params, stats = import_stage1_d(ckpt, mcfg)
+    merged_params = {**state.d_params, **params}
+    merged_stats = {**state.d_stats, **stats}
+    return state.replace(d_params=merged_params, d_stats=merged_stats)

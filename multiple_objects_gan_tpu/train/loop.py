@@ -119,6 +119,18 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
     if state is None:
         state = create_state(model_cfg, g_module, d_module, rng,
                              batch_size=2)
+        # NET_G/NET_D .pth warm-start (reference load_network_stageI,
+        # code/multi-mnist/trainer.py:59-68)
+        from multiple_objects_gan_tpu.io.torch_import import (
+            maybe_load_reference_d, maybe_load_reference_g)
+        for key, loader_fn in (("NET_G", maybe_load_reference_g),
+                               ("NET_D", maybe_load_reference_d)):
+            path = cfg_yaml.get(key, "") if hasattr(cfg_yaml, "get") else ""
+            if path and str(path).endswith(".pth"):
+                loaded = loader_fn(path, model_cfg, state)
+                if loaded is not None:
+                    state = loaded
+                    print(f"Load from: {path}", flush=True)
     if train_step is None:
         kl_coeff = 2.0
         try:

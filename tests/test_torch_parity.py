@@ -229,39 +229,11 @@ def test_mnist_d_forward_parity_with_torch_replica():
 
     dcfg = dataclasses.replace(common.MNIST, df_dim=NDF)
     d = Stage1D(dcfg)
-    sd = td.state_dict()
-
-    def conv_k(key):
-        return np.transpose(sd[key].numpy(), (2, 3, 1, 0))
-
-    def bn(prefix):
-        return ({"scale": sd[f"{prefix}.weight"].numpy(),
-                 "bias": sd[f"{prefix}.bias"].numpy()},
-                {"mean": sd[f"{prefix}.running_mean"].numpy(),
-                 "var": sd[f"{prefix}.running_var"].numpy()})
-
-    lbn_p, lbn_s = bn("local.1")
-    bn2p, bn2s = bn("bn2")
-    bn3p, bn3s = bn("bn3")
-    bn4p, bn4s = bn("bn4")
-    hbn_p, hbn_s = bn("head.1")
-    params = {
-        "local": {"Conv_0": {"kernel": conv_k("local.0.weight")},
-                  "TorchBatchNorm_0": lbn_p},
-        "conv1": {"kernel": conv_k("conv1.weight")},
-        "conv2": {"kernel": conv_k("conv2.weight")},
-        "conv3": {"kernel": conv_k("conv3.weight")},
-        "conv4": {"kernel": conv_k("conv4.weight")},
-        "bn2": bn2p, "bn3": bn3p, "bn4": bn4p,
-        "get_cond_logits": {
-            "Conv3x3_0": {"Conv_0": {"kernel": conv_k("head.0.weight")}},
-            "TorchBatchNorm_0": hbn_p,
-            "Conv_0": {"kernel": conv_k("head.3.weight"),
-                       "bias": sd["head.3.bias"].numpy()}},
-    }
-    stats = {"local": {"TorchBatchNorm_0": lbn_s},
-             "bn2": bn2s, "bn3": bn3s, "bn4": bn4s,
-             "get_cond_logits": {"TorchBatchNorm_0": hbn_s}}
+    # export with the reference's state_dict key names -> importer
+    from multiple_objects_gan_tpu.io.torch_import import import_stage1_d
+    sd = {k.replace("head.", "get_cond_logits.outlogits."): v.numpy()
+          for k, v in td.state_dict().items()}
+    params, stats = import_stage1_d(sd, dcfg)
 
     img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
     variables = {"params": params, "batch_stats": stats}
@@ -668,39 +640,10 @@ def test_clevr_d_forward_parity_with_torch_replica():
                   torch.from_numpy(cond)).numpy()
 
     d = Stage1D(CLCFG)
-    sd = td.state_dict()
-
-    def conv_k(key):
-        return np.transpose(sd[key].numpy(), (2, 3, 1, 0))
-
-    def bn(prefix):
-        return ({"scale": sd[f"{prefix}.weight"].numpy(),
-                 "bias": sd[f"{prefix}.bias"].numpy()},
-                {"mean": sd[f"{prefix}.running_mean"].numpy(),
-                 "var": sd[f"{prefix}.running_var"].numpy()})
-
-    lbn_p, lbn_s = bn("local.1")
-    bn2p, bn2s = bn("bn2")
-    bn3p, bn3s = bn("bn3")
-    bn4p, bn4s = bn("bn4")
-    hbn_p, hbn_s = bn("head.1")
-    params = {
-        "local": {"Conv_0": {"kernel": conv_k("local.0.weight")},
-                  "TorchBatchNorm_0": lbn_p},
-        "conv1": {"kernel": conv_k("conv1.weight")},
-        "conv2": {"kernel": conv_k("conv2.weight")},
-        "conv3": {"kernel": conv_k("conv3.weight")},
-        "conv4": {"kernel": conv_k("conv4.weight")},
-        "bn2": bn2p, "bn3": bn3p, "bn4": bn4p,
-        "get_cond_logits": {
-            "Conv3x3_0": {"Conv_0": {"kernel": conv_k("head.0.weight")}},
-            "TorchBatchNorm_0": hbn_p,
-            "Conv_0": {"kernel": conv_k("head.3.weight"),
-                       "bias": sd["head.3.bias"].numpy()}},
-    }
-    stats = {"local": {"TorchBatchNorm_0": lbn_s},
-             "bn2": bn2s, "bn3": bn3s, "bn4": bn4s,
-             "get_cond_logits": {"TorchBatchNorm_0": hbn_s}}
+    from multiple_objects_gan_tpu.io.torch_import import import_stage1_d
+    sd = {k.replace("head.", "get_cond_logits.outlogits."): v.numpy()
+          for k, v in td.state_dict().items()}
+    params, stats = import_stage1_d(sd, CLCFG)
 
     img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
     variables = {"params": params, "batch_stats": stats}
@@ -709,3 +652,36 @@ def test_clevr_d_forward_parity_with_torch_replica():
     got = d.apply(variables, feat, jnp.asarray(cond), train=False,
                   method="cond_logits")
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+
+def test_warm_start_from_pth_files(tmp_path):
+    """NET_G/NET_D .pth warm-start IO path (reference load_network_stageI,
+    code/multi-mnist/trainer.py:59-68; netG saved under 'netG', netD bare)."""
+    from multiple_objects_gan_tpu.io.torch_import import (
+        maybe_load_reference_d, maybe_load_reference_g)
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D
+    from multiple_objects_gan_tpu.train.step import create_state
+
+    tg = _randomize(Stage1GTorch(), seed=13)
+    td = _randomize(Stage1DTorch(), seed=17)
+    g_path, d_path = tmp_path / "netG.pth", tmp_path / "netD.pth"
+    torch.save({"netG": tg.state_dict()}, g_path)
+    torch.save({k.replace("head.", "get_cond_logits.outlogits."): v
+                for k, v in td.state_dict().items()}, d_path)
+
+    dcfg = dataclasses.replace(MCFG, df_dim=NDF)
+    state = create_state(dcfg, Stage1G(dcfg), Stage1D(dcfg),
+                         jax.random.PRNGKey(0), batch_size=2)
+    state = maybe_load_reference_g(str(g_path), dcfg, state)
+    assert state is not None
+    state = maybe_load_reference_d(str(d_path), dcfg, state)
+    assert state is not None
+    np.testing.assert_allclose(
+        np.asarray(state.g_params["img"]["Conv_0"]["kernel"]),
+        tg.state_dict()["img.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(state.d_params["conv1"]["kernel"]),
+        td.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    # missing path -> None (caller keeps random init)
+    assert maybe_load_reference_d(str(tmp_path / "nope.pth"), dcfg,
+                                  state) is None
