@@ -8,7 +8,6 @@ D operates on 256px with stage-2-scale bboxes.
 from __future__ import annotations
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -67,10 +66,41 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
                              s1_vars, output_dir, seed)
 
     kl_coeff = float(cfg.TRAIN.COEFF.KL)
-    step_fn = jax.jit(make_stage2_train_step(s2_cfg, s1_cfg, g1, g2, d2,
-                                             kl_coeff=kl_coeff),
-                      donate_argnums=(0,))
+    step_raw = jax.jit(make_stage2_train_step(s2_cfg, s1_cfg, g1, g2, d2,
+                                              kl_coeff=kl_coeff),
+                       donate_argnums=(0,))
     state = create_state_stage2(s2_cfg, g2, d2, rng, batch_size=2)
+
+    # NET_G/NET_D .pth warm-start (ref load_network_stageII,
+    # code/coco/stackgan/trainer.py:117-151; NET_G also carries the
+    # wrapped frozen STAGE1_G weights)
+    from multiple_objects_gan_tpu.io.torch_import import (
+        import_stage2_d, import_stage2_g, load_torch_checkpoint)
+    net_g = cfg.get("NET_G", "")
+    if net_g and str(net_g).endswith(".pth") and os.path.isfile(net_g):
+        s1_imp, (p2, st2) = import_stage2_g(load_torch_checkpoint(net_g),
+                                            s1_cfg, s2_cfg, r_num=r_num)
+        if s1_imp is not None:
+            s1_vars = {"params": {**s1_vars["params"], **s1_imp[0]},
+                       "batch_stats": {**s1_vars["batch_stats"],
+                                       **s1_imp[1]}}
+        state = state.replace(g_params={**state.g_params, **p2},
+                              g_stats={**state.g_stats, **st2})
+        print(f"Load from: {net_g}", flush=True)
+    net_d = cfg.get("NET_D", "")
+    if net_d and str(net_d).endswith(".pth") and os.path.isfile(net_d):
+        pd, std = import_stage2_d(load_torch_checkpoint(net_d))
+        state = state.replace(d_params={**state.d_params, **pd},
+                              d_stats={**state.d_stats, **std})
+        print(f"Load from: {net_d}", flush=True)
+
+    start_epoch = 0
+    if args.resume:
+        prev = CheckpointManager(os.path.join(args.resume, "models"))
+        if prev.latest_epoch() is not None:
+            state, start_epoch = prev.restore(state)
+            start_epoch += 1
+            print(f"resumed from {args.resume} at epoch {start_epoch}")
 
     ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                              stage=2, imsize=int(cfg.IMSIZE), seed=seed)
@@ -78,38 +108,53 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
 
     mesh = pmesh.make_mesh()
     state = pmesh.replicate_state(mesh, state)
-    s1_vars = jax.device_put(s1_vars, pmesh.replicated(mesh))
+    s1_rep = jax.device_put(s1_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))
     ckpt = CheckpointManager(os.path.join(output_dir, "models"))
+    img_dir = os.path.join(output_dir, "images")
 
-    lr_g = float(cfg.TRAIN.GENERATOR_LR)
-    lr_d = float(cfg.TRAIN.DISCRIMINATOR_LR)
-    lr_decay = int(cfg.TRAIN.LR_DECAY_EPOCH)
-    snapshot = int(cfg.TRAIN.SNAPSHOT_INTERVAL)
+    def step_fn(state, batch, rng, lr_g, lr_d):
+        return step_raw(state, s1_rep, batch, rng, lr_g, lr_d)
+
+    @jax.jit
+    def viz_forward(s1_v, g2_v, z, bbox_s1, bbox_s2, labels, text):
+        s1_out = g1.apply(s1_v, z, bbox_s1, labels, text, train=False,
+                          ca_rng=None)
+        out = g2.apply(g2_v, s1_out["img"], bbox_s1, bbox_s2, labels, text,
+                       train=False, ca_rng=None)
+        return out["img"]
+
+    def epoch_end(state, batch, epoch):
+        b = min(16, batch["image"].shape[0])
+        z = jax.random.normal(jax.random.fold_in(rng, epoch),
+                              (b, s1_cfg.z_dim))
+        fake = viz_forward(s1_rep, {"params": state.g_params,
+                                    "batch_stats": state.g_stats}, z,
+                           jnp.asarray(batch["bbox"][:b]),
+                           jnp.asarray(batch["bbox_s2"][:b]),
+                           jnp.asarray(batch["label_onehot"][:b]),
+                           jnp.asarray(batch["text_embedding"][:b]))
+        save_grid(np.asarray(fake),
+                  os.path.join(img_dir,
+                               f"fake_samples_epoch_{epoch:03d}.png"),
+                  nrow=4)
+        if epoch == start_epoch:
+            save_grid(batch["image"][:b],
+                      os.path.join(img_dir, "real_samples.png"), nrow=4)
+
+    from multiple_objects_gan_tpu.train.loop import run_epochs
     n_epochs = int(args.max_epochs if args.max_epochs is not None
                    else cfg.TRAIN.MAX_EPOCH)
-    count = 0
-    metrics = {}
-    for epoch in range(n_epochs):
-        t0 = time.time()
-        if epoch % lr_decay == 0 and epoch > 0:
-            lr_g *= 0.5
-            lr_d *= 0.5
-        for i, batch in enumerate(loader.epoch(epoch)):
-            sharded = pmesh.shard_batch(mesh, batch)
-            state, metrics = step_fn(state, s1_vars, sharded, rng,
-                                     np.float32(lr_g), np.float32(lr_d))
-            if i % 500 == 0:
-                writer.scalars(count, {k: float(v)
-                                       for k, v in metrics.items()})
-            count += 1
-        host = {k: float(v) for k, v in metrics.items()}
-        print(f"[{epoch}/{n_epochs}] "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
-              + f" time={time.time() - t0:.1f}s", flush=True)
-        if snapshot and ((epoch + 1) % snapshot == 0
-                         or epoch == n_epochs - 1):
-            ckpt.save(epoch, jax.device_get(state))
+    state, _ = run_epochs(
+        loader=loader, state=state, step_fn=step_fn, mesh=mesh, rng=rng,
+        lr_g=float(cfg.TRAIN.GENERATOR_LR),
+        lr_d=float(cfg.TRAIN.DISCRIMINATOR_LR),
+        n_epochs=n_epochs, ckpt=ckpt, writer=writer,
+        start_epoch=start_epoch,
+        lr_decay_epochs=int(cfg.TRAIN.LR_DECAY_EPOCH),
+        snapshot_every=int(cfg.TRAIN.SNAPSHOT_INTERVAL),
+        profile_dir=args.profile or None,
+        epoch_end_fn=epoch_end)
     ckpt.close()
     writer.close()
     return state

@@ -316,6 +316,46 @@ def import_stage1_d(checkpoint: dict, mcfg) -> tuple[dict, dict]:
     return params, stats
 
 
+def import_stage2_d(checkpoint: dict) -> tuple[dict, dict]:
+    """Map a reference STAGE2_D state_dict -> (params, batch_stats).
+
+    Source layout: code/coco/stackgan/model.py:445-537 (two-conv local
+    block at 32x32, conv1-6 stride-2 + conv7/8 3x3, cond + uncond heads).
+    """
+    sd = checkpoint["netD"] if "netD" in checkpoint else checkpoint
+    params: dict = {}
+    stats: dict = {}
+    for flax_name, tconv, tbn in [("local_conv1", "local.0", "local.1"),
+                                  ("local_conv2", "local.3", "local.4")]:
+        params[flax_name] = {"kernel": _conv(sd, f"{tconv}.weight")}
+        bn_name = flax_name.replace("conv", "bn")
+        p, s = _bn(sd, tbn)
+        params[bn_name] = p
+        stats[bn_name] = s
+    for i in range(1, 7):
+        params[f"conv{i}"] = {"kernel": _conv(sd, f"conv{i}.weight")}
+    for i in (7, 8):  # Conv3x3 wrappers
+        params[f"conv{i}"] = {"Conv_0": {"kernel": _conv(sd, f"conv{i}.weight")}}
+    for i in range(2, 9):
+        p, s = _bn(sd, f"bn{i}")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    hbn_p, hbn_s = _bn(sd, "get_cond_logits.outlogits.1")
+    params["get_cond_logits"] = {
+        "Conv3x3_0": {"Conv_0": {
+            "kernel": _conv(sd, "get_cond_logits.outlogits.0.weight")}},
+        "TorchBatchNorm_0": hbn_p,
+        "Conv_0": {"kernel": _conv(sd, "get_cond_logits.outlogits.3.weight"),
+                   "bias": np.asarray(sd["get_cond_logits.outlogits.3.bias"],
+                                      np.float32)}}
+    stats["get_cond_logits"] = {"TorchBatchNorm_0": hbn_s}
+    params["get_uncond_logits"] = {"Conv_0": {
+        "kernel": _conv(sd, "get_uncond_logits.outlogits.0.weight"),
+        "bias": np.asarray(sd["get_uncond_logits.outlogits.0.bias"],
+                           np.float32)}}
+    return params, stats
+
+
 def maybe_load_reference_g(net_g_path: str, mcfg, state):
     """If NET_G points at a reference .pth, import G weights into state."""
     if not net_g_path or not os.path.exists(net_g_path):

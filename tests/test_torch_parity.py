@@ -685,3 +685,109 @@ def test_warm_start_from_pth_files(tmp_path):
     # missing path -> None (caller keeps random init)
     assert maybe_load_reference_d(str(tmp_path / "nope.pth"), dcfg,
                                   state) is None
+
+
+# ---------------------------------------------------------------------------
+# StackGAN STAGE2_D parity (32x32 two-conv object pathway, conv1-8 stack,
+# cond + uncond heads), through import_stage2_d
+# ---------------------------------------------------------------------------
+
+class Stage2D_Torch(tnn.Module):
+    """Replica of code/coco/stackgan/model.py:445-537."""
+
+    def __init__(self):
+        super().__init__()
+        ndf, nef = S2CFG.df_dim, S2CFG.condition_dim
+        self.local = tnn.Sequential(
+            tnn.Conv2d(3 + 81, ndf * 2, 4, 1, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 2, ndf * 2, 4, 1, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True))
+        self.conv1 = tnn.Conv2d(3, ndf, 4, 2, 1, bias=False)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(ndf * 2)
+        self.conv3 = tnn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(ndf * 4)
+        self.conv4 = tnn.Conv2d(ndf * 6, ndf * 8, 4, 2, 1, bias=False)
+        self.bn4 = tnn.BatchNorm2d(ndf * 8)
+        self.conv5 = tnn.Conv2d(ndf * 8, ndf * 16, 4, 2, 1, bias=False)
+        self.bn5 = tnn.BatchNorm2d(ndf * 16)
+        self.conv6 = tnn.Conv2d(ndf * 16, ndf * 32, 4, 2, 1, bias=False)
+        self.bn6 = tnn.BatchNorm2d(ndf * 32)
+        self.conv7 = conv3x3_t(ndf * 32, ndf * 16)
+        self.bn7 = tnn.BatchNorm2d(ndf * 16)
+        self.conv8 = conv3x3_t(ndf * 16, ndf * 8)
+        self.bn8 = tnn.BatchNorm2d(ndf * 8)
+        self.cond_head = tnn.Sequential(
+            conv3x3_t(ndf * 8 + nef, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4))
+        self.uncond_head = tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4)
+        self.act = tnn.LeakyReLU(0.2, True)
+
+    def forward(self, image, label, t_fwd, t_inv, cond):
+        b = image.shape[0]
+        ndf, nef = S2CFG.df_dim, S2CFG.condition_dim
+        locals_sum = torch.zeros(b, ndf * 2, 32, 32)
+        for idx in range(3):
+            lab = label[:, idx].view(b, 81, 1, 1).repeat(1, 1, 32, 32)
+            patch = stn_t(image, t_fwd[:, idx], (b, 3, 32, 32))
+            h = self.local(torch.cat([patch, lab], 1))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx],
+                                            (b, h.shape[1], 32, 32))
+        h = self.act(self.conv1(image))
+        h = self.act(self.bn2(self.conv2(h)))
+        h = self.act(self.bn3(self.conv3(h)))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.act(self.bn4(self.conv4(h)))
+        h = self.act(self.bn5(self.conv5(h)))
+        h = self.act(self.bn6(self.conv6(h)))
+        h = self.act(self.bn7(self.conv7(h)))
+        h = self.act(self.bn8(self.conv8(h)))
+        c = cond.view(b, nef, 1, 1).repeat(1, 1, 4, 4)
+        return (self.cond_head(torch.cat([h, c], 1)).view(-1),
+                self.uncond_head(h).view(-1))
+
+
+def test_stage2_d_forward_parity_with_torch_replica():
+    from multiple_objects_gan_tpu.io.torch_import import import_stage2_d
+    from multiple_objects_gan_tpu.models.stage2 import Stage2D
+    from multiple_objects_gan_tpu.ops import transformation_matrix
+
+    td = _randomize(Stage2D_Torch(), seed=81)
+    td.eval()
+    rng = np.random.RandomState(10)
+    b = 2
+    img = rng.randn(b, 3, 256, 256).astype(np.float32).clip(-1, 1)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3))], -1).astype(np.float32)
+    onehot = np.zeros((b, 3, 81), np.float32)
+    for i in range(b):
+        for j in range(3):
+            onehot[i, j, rng.randint(81)] = 1.0
+    cond = rng.randn(b, S2CFG.condition_dim).astype(np.float32)  # = mu
+    t_fwd = np.asarray(transformation_matrix(jnp.asarray(bbox)))
+    t_inv = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want_c, want_u = td(torch.from_numpy(img), torch.from_numpy(onehot),
+                            torch.from_numpy(t_fwd), torch.from_numpy(t_inv),
+                            torch.from_numpy(cond))
+
+    # NB: rename uncond first — "cond_head." is a substring of it
+    sd = {k.replace("uncond_head.", "get_uncond_logits.outlogits.0.")
+           .replace("cond_head.", "get_cond_logits.outlogits."): v
+          for k, v in td.state_dict().items()}
+    params, stats = import_stage2_d(sd)
+
+    d = Stage2D(S2CFG)
+    variables = {"params": params, "batch_stats": stats}
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    h = d.apply(variables, img_nhwc, jnp.asarray(onehot), jnp.asarray(bbox),
+                train=False)
+    got_c = d.apply(variables, h, jnp.asarray(cond), train=False,
+                    method="cond_logits")
+    got_u = d.apply(variables, h, train=False, method="uncond_logits")
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_u), want_u.numpy(), atol=5e-4)
