@@ -71,3 +71,61 @@ def test_sharded_matches_single_device():
     # the sharded grads is amplified — allow 1e-3 on a handful of params
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_attngan_step_over_8_device_mesh(mesh):
+    """The flagship (attngan) train step compiles and runs SPMD: sharded
+    batch, replicated state/encoders, finite losses, replicated params."""
+    import dataclasses as dc
+
+    from multiple_objects_gan_tpu.models.attngan import (
+        COCO_ATTN, DNet64, DNetScale, GNet)
+    from multiple_objects_gan_tpu.nn.encoders import CNNEncoder, RNNEncoder
+    from multiple_objects_gan_tpu.train.attngan_step import (
+        create_attngan_state, make_attngan_train_step)
+
+    mcfg = dc.replace(COCO_ATTN, gf_dim=8, df_dim=8, z_dim=16,
+                      condition_dim=16, embedding_dim=16, branch_num=2,
+                      r_num=1)
+    g = GNet(mcfg)
+    d_modules = {"d64": DNet64(mcfg), "d128": DNetScale(mcfg, scale=128)}
+    text_enc = RNNEncoder(ntoken=30, nhidden=mcfg.embedding_dim)
+    image_enc = CNNEncoder(nef=mcfg.embedding_dim)
+    rng = jax.random.PRNGKey(0)
+    seq = 6
+    text_vars = jax.jit(lambda r: text_enc.init(
+        r, jnp.ones((2, seq), jnp.int32), jnp.full((2,), seq, jnp.int32),
+        train=False))(rng)
+    image_vars = jax.jit(lambda r: image_enc.init(
+        r, jnp.zeros((2, 64, 64, 3)), train=False))(rng)
+    enc_vars = {"text": text_vars, "image": image_vars}
+    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
+                                 seq_len=seq)
+
+    state = pmesh.replicate_state(mesh, state)
+    enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))
+    step = jax.jit(make_attngan_train_step(
+        mcfg, g, d_modules, text_enc, image_enc,
+        smooth={"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
+                "LAMBDA": 1.0}), donate_argnums=(0,))
+
+    bs = 8
+    rs = np.random.RandomState(0)
+    batch = {
+        "image64": rs.rand(bs, 64, 64, 3).astype(np.float32) * 2 - 1,
+        "image128": rs.rand(bs, 128, 128, 3).astype(np.float32) * 2 - 1,
+        "bbox": np.tile([0.2, 0.2, 0.3, 0.3],
+                        (bs, 3, 1)).astype(np.float32),
+        "label_onehot": np.eye(81, dtype=np.float32)[
+            rs.randint(0, 81, (bs, 3))],
+        "captions": rs.randint(1, 30, (bs, seq)).astype(np.int32),
+        "cap_lens": np.full((bs,), seq, np.int32),
+        "class_ids": np.arange(bs, dtype=np.int32),
+    }
+    sharded = pmesh.shard_batch(mesh, batch)
+    assert len(sharded["image64"].sharding.device_set) == 8
+    state, metrics = step(state, enc_rep, sharded, rng,
+                          jnp.float32(2e-4), jnp.float32(2e-4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert jax.tree.leaves(state.g_params)[0].sharding.is_fully_replicated
