@@ -179,11 +179,24 @@ class UpConv3x3(nn.Module):
 
     features: int
     kernel_init: Callable = normal_init()
+    # measured crossover on TPU v5e: the phase path wins at small output
+    # maps (mnist 19.1 -> 18.7 ms) but loses at 128/256px outputs
+    # (attngan 71.3 -> 76.5 ms — the (H+1)(W+1) overcompute + interleave
+    # dominates once the conv is fully bandwidth-bound), so it gates on
+    # output size
+    phase_max_out: int = 64
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, cin = x.shape
         k = _ConvKernel(self.features, self.kernel_init, name="Conv_0")(cin)
+        if 2 * max(h, w) > self.phase_max_out:
+            kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
+            xx = upsample_nearest_2x(
+                x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE))
+            return jax.lax.conv_general_dilated(
+                xx, kk, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         # row/col groups: output phase d=0 sees source offsets {-1, 0}
         # with weights {W0, W1+W2}; phase d=1 sees {0, +1} with
