@@ -76,6 +76,23 @@ def test_attngan_train_epoch(attn_env):
     assert os.path.isdir(os.path.join(out, "src_snapshot", "models"))
 
 
+def test_attngan_resume_continues_training(attn_env):
+    """--resume restores the full state (params + per-D optimizers + EMA)
+    and continues from the next epoch (ref trainer.py:99-107,150-158)."""
+    root, train_yml, _ = attn_env
+    prev = str(root / "out_train")
+    if not os.path.isdir(os.path.join(prev, "models", "0")):
+        main(["--variant", "coco-attngan", "--cfg", train_yml,
+              "--output_dir", prev, "--manualSeed", "7"])
+    out = str(root / "out_resumed")
+    main(["--variant", "coco-attngan", "--cfg", train_yml,
+          "--output_dir", out, "--manualSeed", "7",
+          "--resume", prev, "--max_epochs", "2"])
+    # epoch 0 came from the checkpoint; only epoch 1 ran and snapshotted
+    assert os.path.isdir(os.path.join(out, "models", "1"))
+    assert not os.path.isdir(os.path.join(out, "models", "0"))
+
+
 def test_attngan_sample_dispatch(attn_env):
     """B_VALIDATION=True -> sample(): 10-tile grids named by caption."""
     root, _, eval_yml = attn_env
