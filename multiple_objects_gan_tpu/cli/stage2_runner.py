@@ -180,7 +180,6 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
     from multiple_objects_gan_tpu.train.step import create_state_stage2
     from multiple_objects_gan_tpu.utils.images import (
         draw_bboxes, save_grid, to_uint8)
-    from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
     state = create_state_stage2(s2_cfg, g2, d2, rng, batch_size=2)

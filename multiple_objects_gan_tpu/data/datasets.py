@@ -24,7 +24,7 @@ import os
 import pickle
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 from PIL import Image

@@ -17,8 +17,6 @@ Conventions handled:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

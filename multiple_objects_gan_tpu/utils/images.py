@@ -9,7 +9,7 @@ drawn bbox rectangles + caption text rows
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw

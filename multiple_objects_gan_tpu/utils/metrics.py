@@ -9,8 +9,6 @@ image_encoder .pth for meaningful numbers).
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
