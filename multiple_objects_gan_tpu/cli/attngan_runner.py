@@ -177,7 +177,8 @@ def run(args, cfg, output_dir: str, seed: int):
             start_epoch += 1
             print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True, seed=seed)
+    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
+                    seed=seed, workers=int(cfg.WORKERS))
     mesh = pmesh.make_mesh()
     state = pmesh.replicate_state(mesh, state)
     enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))

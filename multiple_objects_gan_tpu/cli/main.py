@@ -140,7 +140,7 @@ def run_mnist(args, cfg, output_dir, seed):
                                        seed=seed)
         ds = MultiMnistDataset(cfg.DATA_DIR, split="train")
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed)
+                        seed=seed, workers=int(cfg.WORKERS))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,
@@ -167,7 +167,7 @@ def run_clevr(args, cfg, output_dir, seed):
         ds = ClevrDataset(cfg.DATA_DIR, split="train",
                           imsize=int(cfg.IMSIZE), seed=seed)
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed)
+                        seed=seed, workers=int(cfg.WORKERS))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,
@@ -198,7 +198,7 @@ def run_stackgan(args, cfg, output_dir, seed):
         ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                                  stage=1, imsize=int(cfg.IMSIZE))
         loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed)
+                        seed=seed, workers=int(cfg.WORKERS))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,

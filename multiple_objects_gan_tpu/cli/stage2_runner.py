@@ -104,7 +104,8 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
 
     ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                              stage=2, imsize=int(cfg.IMSIZE), seed=seed)
-    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True, seed=seed)
+    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
+                    seed=seed, workers=int(cfg.WORKERS))
 
     mesh = pmesh.make_mesh()
     state = pmesh.replicate_state(mesh, state)

@@ -24,7 +24,7 @@ import os
 import pickle
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 from PIL import Image
@@ -149,15 +149,21 @@ class ClevrDataset:
 
 
 class Loader:
-    """Shuffled, drop-last, thread-prefetched batcher."""
+    """Shuffled, drop-last, thread-prefetched batcher.
+
+    ``workers`` maps the reference's cfg.WORKERS (DataLoader processes,
+    code/multi-mnist/main.py:86-88) onto the native decoder's thread pool
+    (clamped to cpu_count inside decode_batch)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 workers: Optional[int] = None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = workers
 
     def __len__(self) -> int:
         return len(self.ds) // self.bs
@@ -175,7 +181,8 @@ class Loader:
             for b in range(n_batches):
                 idxs = order[b * self.bs:(b + 1) * self.bs]
                 if get_batch is not None:
-                    batch = get_batch(idxs)
+                    batch = (get_batch(idxs, threads=self.workers)
+                             if self.workers else get_batch(idxs))
                 else:
                     items = [self.ds[int(i)] for i in idxs]
                     batch = {k: np.stack([it[k] for it in items])
