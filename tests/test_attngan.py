@@ -188,3 +188,27 @@ def test_attngan_train_step():
     # EMA moved slightly toward the updated params
     ema_after = jax.tree.leaves(state.g_ema)[0]
     assert not np.allclose(np.asarray(ema_before), np.asarray(ema_after))
+
+
+def test_gnet_b_dcgan_single_head():
+    """G_DCGAN ablation (model.py:531-571; upstream call is broken — we
+    wire the single-image-head path correctly via GAN.B_DCGAN)."""
+    import dataclasses
+    dcfg = dataclasses.replace(CFG, b_dcgan=True)
+    g = GNet(dcfg)
+    b = 2
+    caps, lens = _text_batch(b)
+    rng = jax.random.PRNGKey(0)
+    z = jnp.zeros((b, dcfg.z_dim))
+    sent = jnp.zeros((b, dcfg.embedding_dim))
+    words = jnp.zeros((b, T, dcfg.embedding_dim))
+    bbox = jnp.tile(jnp.array([0.2, 0.2, 0.4, 0.4]), (b, 3, 1))
+    labels = jnp.zeros((b, 3, 81)).at[:, :, 1].set(1.0)
+    variables = g.init(rng, z, sent, words, caps == 0, bbox, labels,
+                       train=False, ca_rng=None)
+    out = g.apply(variables, z, sent, words, caps == 0, bbox, labels,
+                  train=False, ca_rng=None)
+    # single image head: only the FINAL scale is returned
+    assert len(out["imgs"]) == 1
+    top = 64 * 2 ** (dcfg.branch_num - 1)
+    assert out["imgs"][0].shape == (b, top, top, 3)
