@@ -31,6 +31,8 @@ def parse_args(argv=None):
                             "coco-stackgan-2", "coco-attngan"])
     p.add_argument("--cfg", dest="cfg_file", required=True)
     p.add_argument("--data_dir", default="")
+    p.add_argument("--img_dir", default="",
+                   help="override cfg.IMG_DIR (COCO JPEG directory)")
     p.add_argument("--output_dir", default="")
     p.add_argument("--manualSeed", type=int, default=None)
     p.add_argument("--resume", default="",
@@ -81,6 +83,8 @@ def main(argv=None):
     cfg = cfg_from_file(args.cfg_file, cfg_variant)
     if args.data_dir:
         cfg.DATA_DIR = args.data_dir
+    if args.img_dir and hasattr(cfg, "IMG_DIR"):
+        cfg.IMG_DIR = args.img_dir
 
     seed = args.manualSeed
     if seed is None:

@@ -183,7 +183,10 @@ class CocoStackganDataset:
 def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
                          split: str = "train", seed: int = 0,
                          n_captions: int = 5, text_dim: int = 1024) -> None:
-    """Tiny COCO-format dataset (random images) to exercise the IO path."""
+    """Tiny COCO-format dataset to exercise the IO path. Objects are drawn
+    as label-colored rectangles at their bbox locations on a dark
+    background, so short smoke trainings have real signal to learn (the
+    object pathway can be validated with an in-box intensity check)."""
     rng = np.random.RandomState(seed)
     split_dir = os.path.join(data_dir, split)
     os.makedirs(split_dir, exist_ok=True)
@@ -191,8 +194,7 @@ def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
     filenames, bboxes, labels, embs = [], [], [], []
     for i in range(n):
         key = f"synthetic_{i:06d}"
-        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
-        Image.fromarray(img).save(os.path.join(img_dir, key + ".jpg"))
+        img = (rng.rand(96, 96, 3) * 40).astype(np.uint8)  # dark noise bg
         filenames.append(key)
         n_obj = rng.randint(1, MAX_OBJECTS + 1)
         bb = np.full((MAX_OBJECTS, 4), -1.0, np.float32)
@@ -201,6 +203,14 @@ def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
             w, h = rng.uniform(0.2, 0.4, 2)
             bb[j] = [rng.uniform(0, 1 - w), rng.uniform(0, 1 - h), w, h]
             lab[j] = rng.randint(0, NUM_CLASSES - 1)
+            # label-dependent bright color at the bbox location
+            x0, y0 = int(bb[j][0] * 96), int(bb[j][1] * 96)
+            x1, y1 = int((bb[j][0] + bb[j][2]) * 96), int(
+                (bb[j][1] + bb[j][3]) * 96)
+            color = np.array([120 + 135 * ((int(lab[j]) * k) % 9) // 8
+                              for k in (1, 2, 3)], np.uint8)
+            img[y0:y1, x0:x1] = color
+        Image.fromarray(img).save(os.path.join(img_dir, key + ".jpg"))
         bboxes.append(bb)
         labels.append(lab)
         embs.append(rng.randn(n_captions, text_dim).astype(np.float32))
