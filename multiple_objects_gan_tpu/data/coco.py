@@ -207,7 +207,8 @@ def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
             x0, y0 = int(bb[j][0] * 96), int(bb[j][1] * 96)
             x1, y1 = int((bb[j][0] + bb[j][2]) * 96), int(
                 (bb[j][1] + bb[j][3]) * 96)
-            color = np.array([120 + 135 * ((int(lab[j]) * k) % 9) // 8
+            lab_j = int(lab[j, 0])
+            color = np.array([120 + 135 * ((lab_j * k) % 9) // 8
                               for k in (1, 2, 3)], np.uint8)
             img[y0:y1, x0:x1] = color
         Image.fromarray(img).save(os.path.join(img_dir, key + ".jpg"))
