@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--data_dir", default="")
     p.add_argument("--img_dir", default="",
                    help="override cfg.IMG_DIR (COCO JPEG directory)")
+    p.add_argument("--gpu", dest="gpu_id", default="",
+                   help="reference-CLI compatibility (GPU ids); a no-op "
+                        "on TPU — the SPMD mesh spans all attached chips")
     p.add_argument("--output_dir", default="")
     p.add_argument("--manualSeed", type=int, default=None)
     p.add_argument("--resume", default="",
@@ -85,6 +88,8 @@ def main(argv=None):
         cfg.DATA_DIR = args.data_dir
     if args.img_dir and hasattr(cfg, "IMG_DIR"):
         cfg.IMG_DIR = args.img_dir
+    if args.gpu_id:
+        cfg.GPU_ID = args.gpu_id  # recorded in the cfg snapshot; no-op on TPU
 
     seed = args.manualSeed
     if seed is None:
