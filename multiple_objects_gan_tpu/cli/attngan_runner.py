@@ -438,32 +438,62 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
             save_attention_montage(f"{name}_a{k}.png", im_for_att[j:j + 1],
                                    att[j:j + 1], caps_np[j:j + 1],
                                    ds.ixtoword, lens_np[j:j + 1])
-    path = os.path.join(output_dir, "gen_example.png")
+    path = os.path.join(output_dir, f"{key}.png")
     save_grid(imgs[-1], path, nrow=4)
     print(f"wrote {path} + per-caption images/attention maps in {base}",
           flush=True)
     return out
 
 
-def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
-                    output_dir: str, seed: int):
-    """Free-text caption generation (main.py:39-86 + trainer.gen_example).
-    Captions come from <DATA_DIR>/example_captions.txt (one per line) or a
-    built-in default set."""
-    cap_file = os.path.join(cfg.DATA_DIR, "example_captions.txt")
-    key = "gen_example"
+def load_example_captions(data_dir: str) -> dict[str, list[str]]:
+    """Resolve the reference's gen_example caption sources (main.py:39-60):
+    <DATA_DIR>/example_filenames.txt lists caption-file names (one per
+    line, path relative to DATA_DIR, no extension); each <name>.txt holds
+    one sentence per line and contributes one key = the file's stem (so
+    each caption set renders into its own subdir, trainer.py:609-610).
+    Falls back to a single example_captions.txt, then to built-ins."""
+    index = os.path.join(data_dir, "example_filenames.txt")
+    if os.path.isfile(index):
+        data = {}
+        with open(index) as f:
+            names = [line.strip() for line in f if line.strip()]
+        for name in names:
+            path = os.path.join(data_dir, f"{name}.txt")
+            if not os.path.isfile(path):
+                print(f"WARNING: caption file {path} not found — skipped",
+                      flush=True)
+                continue
+            with open(path) as f:
+                sents = [line.strip() for line in f if line.strip()]
+            if sents:
+                print(f"Load from: {name}", flush=True)
+                data[os.path.basename(name)] = sents
+        if data:
+            return data
+    cap_file = os.path.join(data_dir, "example_captions.txt")
     if os.path.isfile(cap_file):
         with open(cap_file) as f:
             captions = [line.strip() for line in f if line.strip()]
-        key = os.path.splitext(os.path.basename(cap_file))[0]
-    else:
-        captions = ["a man riding a horse on a beach",
-                    "two dogs playing with a ball in a park"]
-        print(f"{cap_file} not found - using built-in example captions",
-              flush=True)
+        if captions:
+            return {"example_captions": captions}
+    print(f"no example caption files under {data_dir} - using built-in "
+          "example captions", flush=True)
+    return {"gen_example": ["a man riding a horse on a beach",
+                            "two dogs playing with a ball in a park"]}
 
+
+def run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
+                    output_dir: str, seed: int):
+    """Free-text caption generation (main.py:39-86 + trainer.gen_example):
+    one subdir per caption file, images named 0_s_<i>_g{k}.png (i = the
+    caption's index in its file — equal to the reference's
+    sorted_indices[j] naming since we never reorder the batch)."""
+    data_dic = load_example_captions(cfg.DATA_DIR)
     rng = jax.random.PRNGKey(seed)
     g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
                                   int(cfg.TEXT.WORDS_NUM))
-    return gen_example(cfg, captions, ds, mcfg, g, text_enc, enc_vars,
-                       g_params, g_stats, output_dir, seed, key=key)
+    out = None
+    for key, captions in data_dic.items():
+        out = gen_example(cfg, captions, ds, mcfg, g, text_enc, enc_vars,
+                          g_params, g_stats, output_dir, seed, key=key)
+    return out

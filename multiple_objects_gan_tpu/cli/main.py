@@ -65,11 +65,15 @@ def main(argv=None):
     args = parse_args(argv)
     # persistent XLA compilation cache: repeated CLI runs (and crashed-run
     # retries) skip recompiles — important on tunneled TPUs where a big
-    # compile takes minutes
+    # compile takes minutes. TPU-only: CPU cache entries embed host machine
+    # features, and the cache dir can outlive the host — a stale CPU entry
+    # loaded on a different machine SIGABRTs mid-execution (observed: the
+    # attngan CPU train step after a host change).
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from multiple_objects_gan_tpu.config.config import (
         cfg_from_file, stage1_model_config)
 

@@ -117,6 +117,31 @@ def test_attngan_gen_example(attn_env):
     assert "0_s_0_a0.png" in files
 
 
+def test_load_example_captions(tmp_path):
+    """Caption-source resolution mirrors the reference driver
+    (main.py:39-60): example_filenames.txt lists per-key caption files;
+    fallback is example_captions.txt, then built-ins."""
+    from multiple_objects_gan_tpu.cli.attngan_runner import (
+        load_example_captions)
+
+    d = str(tmp_path)
+    # no files at all -> built-in captions under the 'gen_example' key
+    assert list(load_example_captions(d)) == ["gen_example"]
+
+    (tmp_path / "example_captions.txt").write_text("a red cat\n\nblue dog\n")
+    assert load_example_captions(d) == {
+        "example_captions": ["a red cat", "blue dog"]}
+
+    # the index file takes precedence; keys are file stems; missing
+    # entries are skipped
+    (tmp_path / "text").mkdir()
+    (tmp_path / "text" / "birds.txt").write_text("a bird\nanother bird\n")
+    (tmp_path / "example_filenames.txt").write_text(
+        "text/birds\ntext/missing\n")
+    assert load_example_captions(d) == {
+        "birds": ["a bird", "another bird"]}
+
+
 def test_attngan_sampling_metrics(attn_env):
     root, _, eval_yml = attn_env
     out = str(root / "out_dump")
