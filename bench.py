@@ -31,9 +31,10 @@ def main():
 
     from multiple_objects_gan_tpu.nn import blocks
 
-    # TPU-idiomatic mixed precision: bf16 activations (f32 master weights,
-    # BN stats, and STN resampling). Measured +25% over f32 with an
-    # unchanged loss trajectory; opt out with MOG_COMPUTE_DTYPE=float32.
+    # TPU-idiomatic mixed precision: bf16 activations end-to-end (incl.
+    # STN resampling and BN normalize; master weights and BN statistics
+    # stay f32). Measured ~1.5x over f32 with an unchanged loss
+    # trajectory; opt out with MOG_COMPUTE_DTYPE=float32.
     if os.environ.get("MOG_COMPUTE_DTYPE", "").lower() not in ("f32",
                                                                "float32"):
         blocks.set_compute_dtype(_jnp.bfloat16)

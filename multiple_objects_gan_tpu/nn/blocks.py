@@ -30,9 +30,11 @@ Array = jax.Array
 
 # Compute dtype for convs/denses (MOG_COMPUTE_DTYPE=bfloat16 stores
 # activations in bf16 — halves HBM traffic between conv fusions — while
-# params stay f32 (flax casts per-op) and BatchNorm statistics plus the
-# STN resampling stay in f32 (TorchBatchNorm and ops/stn.py self-cast).
-# None = flax default (f32 everywhere).
+# params stay f32 (flax casts per-op) and BatchNorm STATISTICS stay f32
+# (TorchBatchNorm reduces in f32 either way). bf16 activations also flow
+# natively through the STN resampling and the BN normalize (dtype-driven
+# branches in ops/stn.py and TorchBatchNorm — parity-critical f32 inputs
+# keep the f32/HIGHEST paths). None = flax default (f32 everywhere).
 COMPUTE_DTYPE: Optional[jnp.dtype] = (
     jnp.bfloat16
     if os.environ.get("MOG_COMPUTE_DTYPE", "").lower() in ("bf16", "bfloat16")
@@ -104,18 +106,33 @@ class TorchBatchNorm(nn.Module):
             n = 1
             for ax in red:
                 n *= x.shape[ax]
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=red)
-            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+
+            def _bn(xv, scale, bias):
+                xf = xv.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+                inv = jax.lax.rsqrt(var + self.eps) * scale
+                y = (xf - mean) * inv + bias
+                return y.astype(xv.dtype), mean, var
+
+            if x.dtype == jnp.bfloat16:
+                # jax.vjp would otherwise save the f32 upcast of x as a
+                # backward residual — 2x the activation bytes of the whole
+                # layer, measurable on a bandwidth-bound step. checkpoint
+                # keeps the residual bf16 and recomputes the (cheap,
+                # fully-fused) f32 stats in the backward. Math unchanged.
+                y, mean, var = jax.checkpoint(_bn)(x, scale, bias)
+            else:
+                y, mean, var = _bn(x, scale, bias)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
                                  + self.momentum * mean)
                 ra_var.value = ((1 - self.momentum) * ra_var.value
                                 + self.momentum * unbiased)
-        else:
-            mean, var = ra_mean.value, ra_var.value
+            return y
 
+        mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = (x.astype(jnp.float32) - mean) * inv + bias
         return y.astype(x.dtype)

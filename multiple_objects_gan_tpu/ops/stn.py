@@ -127,6 +127,16 @@ def stn_separable(image: Array, theta: Array, out_hw: tuple[int, int]) -> Array:
     dt = jnp.float32
     wy = _axis_weights(theta[:, 1, 1].astype(dt), theta[:, 1, 2].astype(dt), ho, hi)
     wx = _axis_weights(theta[:, 0, 0].astype(dt), theta[:, 0, 2].astype(dt), wo, wi)
+    if image.dtype == jnp.bfloat16:
+        # Mixed-precision training path (dtype-driven: only reached when
+        # the caller feeds bf16 activations): resample natively in bf16 —
+        # the MXU accumulates in f32, so the only extra rounding is of the
+        # hat weights. Keeps activations AND their cotangents bf16
+        # end-to-end; the f32 round-trip here measurably dominated HBM
+        # traffic of the bandwidth-bound train step. Parity-critical paths
+        # (checkpoint import, FID eval) run f32 and take the branch below.
+        tmp = jnp.einsum("bip,bpqc->biqc", wy.astype(image.dtype), image)
+        return jnp.einsum("biqc,bjq->bijc", tmp, wx.astype(image.dtype))
     img = image.astype(dt)
     # HIGHEST precision: these matmuls define numerical parity with the
     # reference's grid_sample; bf16 MXU passes would drift FID. The matrices
@@ -198,6 +208,10 @@ def stn_place_const_multi(labels: Array, bbox: Array,
     wx = _axis_weights(theta[:, 0, 0].astype(dt), theta[:, 0, 2].astype(dt), wo, 16)
     mask = wy.sum(-1)[:, :, None] * wx.sum(-1)[:, None, :]  # (B*O, Ho, Wo)
     mask = mask.reshape(b, o, ho, wo)
+    if labels.dtype == jnp.bfloat16:
+        # bf16 training path (see stn_separable): keep cotangents bf16
+        return jnp.einsum("bohw,boc->bhwc", mask.astype(labels.dtype),
+                          labels)
     out = jnp.einsum("bohw,boc->bhwc", mask, labels.astype(dt),
                      precision=jax.lax.Precision.HIGHEST)
     return out.astype(labels.dtype)

@@ -10,9 +10,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's collective rendezvous has a 20s-warn/40s-LOG(FATAL)
+    # watchdog. Sharded steps over the 8 virtual devices run 8 partition
+    # threads on however few cores the host has — on a busy 1-core CI
+    # host the heavier steps (attngan CLI e2e) can legitimately take
+    # >40s to get all 8 threads to an all-gather, and the watchdog then
+    # SIGABRTs the whole pytest process. Raise it well past any real
+    # step time; actual deadlocks still die at 20 min.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
