@@ -115,12 +115,18 @@ class TorchBatchNorm(nn.Module):
                 y = (xf - mean) * inv + bias
                 return y.astype(xv.dtype), mean, var
 
-            if x.dtype == jnp.bfloat16:
-                # jax.vjp would otherwise save the f32 upcast of x as a
-                # backward residual — 2x the activation bytes of the whole
-                # layer, measurable on a bandwidth-bound step. checkpoint
-                # keeps the residual bf16 and recomputes the (cheap,
-                # fully-fused) f32 stats in the backward. Math unchanged.
+            # jax.vjp would otherwise save the f32 upcast of x as a
+            # backward residual — 2x the activation bytes of the whole
+            # layer, measurable on a bandwidth-bound step. checkpoint
+            # keeps the residual bf16 and recomputes the (cheap,
+            # fully-fused) f32 stats in the backward. Math unchanged.
+            # Measured crossover on TPU v5e: wins on the bandwidth-bound
+            # <=64px steps (mnist 18.8 -> 16.1 ms), loses ~4% on the
+            # compute-denser 128/256px attngan step where the recompute
+            # breaks up conv fusions — so it gates on spatial size like
+            # UpConv3x3's phase path.
+            small = x.ndim < 4 or (x.shape[1] * x.shape[2] <= 64 * 64)
+            if x.dtype == jnp.bfloat16 and small:
                 y, mean, var = jax.checkpoint(_bn)(x, scale, bias)
             else:
                 y, mean, var = _bn(x, scale, bias)

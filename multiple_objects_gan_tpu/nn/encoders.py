@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multiple_objects_gan_tpu.nn import blocks
+
 Array = jax.Array
 
 
@@ -160,11 +162,17 @@ class BasicConv2d(nn.Module):
             pad = ((pad, pad), (pad, pad))
         elif isinstance(pad, tuple) and isinstance(pad[0], int):
             pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        # honors the global mixed-precision knob (blocks.set_compute_dtype):
+        # the backbone is a frozen feature extractor, so bf16 activations
+        # here only touch the DAMSM-loss gradient path; CNNEncoder casts
+        # its outputs back to f32 so loss math and FID stay f32
         x = nn.Conv(self.features, self.kernel,
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=False, name="conv")(x)
+                    use_bias=False, dtype=blocks.COMPUTE_DTYPE,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=0.001,
-                         momentum=0.9, name="bn")(x)
+                         momentum=0.9, dtype=blocks.COMPUTE_DTYPE,
+                         name="bn")(x)
         return nn.relu(x)
 
 
@@ -290,6 +298,10 @@ class CNNEncoder(nn.Module):
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -0.1, 0.1)
 
+        # outputs in f32 regardless of the backbone compute dtype: DAMSM
+        # loss math and FID statistics stay full precision
+        x = x.astype(jnp.float32)
+        features = features.astype(jnp.float32)
         cnn_code = nn.Dense(self.nef, kernel_init=uinit,
                             name="emb_cnn_code")(x)
         region = nn.Dense(self.nef, use_bias=False, kernel_init=uinit,
