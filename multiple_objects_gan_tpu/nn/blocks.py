@@ -206,8 +206,10 @@ class UpConv3x3(nn.Module):
     # maps (mnist 19.1 -> 18.7 ms) but loses at 128/256px outputs
     # (attngan 71.3 -> 76.5 ms — the (H+1)(W+1) overcompute + interleave
     # dominates once the conv is fully bandwidth-bound), so it gates on
-    # output size
-    phase_max_out: int = 64
+    # output size (override for A/B with MOG_PHASE_MAX_OUT; re-measured
+    # at 128/256 on stage-2 after the bf16 work: still a loss, see
+    # ROADMAP)
+    phase_max_out: int = int(os.environ.get("MOG_PHASE_MAX_OUT", "64"))
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
