@@ -163,9 +163,16 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
 
 def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
                   output_dir: str, seed: int, num_samples: int = 25):
-    """Qualitative 256px grids (parity: stackgan trainer.py sample path;
-    the reference reads captions from val_captions.t7 — we read the test
-    split's embedding pickles, same content, no torch-lua dependency).
+    """Qualitative 256px grids (parity: stackgan trainer.py:283-419).
+
+    Caption/conditioning source mirrors the reference: when
+    ``<DATA_DIR>/test/val_captions.t7`` exists it is read directly (pure-
+    Python Torch7 reader, io/torchfile.py) together with the validation
+    bbox/label pickles and ``filenames.pickle`` (trainer.py:300-307), and
+    grids are saved as ``<caption>.png``; otherwise the test split's
+    embedding pickles provide the same conditioning and grids are
+    index-named. Composition matches trainer.py:402-417: one 10-tile row
+    [real | 9 fakes], white bbox edges on every tile.
 
     Weight sources for NET_G:
       * reference .pth  -> io/torch_import.import_stage2_g (incl. the
@@ -173,8 +180,10 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
       * an output dir of our own training -> orbax restore
     """
     import dataclasses
+    import pickle
 
-    from multiple_objects_gan_tpu.data.coco import CocoStackganDataset
+    from multiple_objects_gan_tpu.data.coco import (
+        CocoStackganDataset, labels_to_onehot)
     from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
     from multiple_objects_gan_tpu.io.torch_import import (
         import_stage2_g, load_torch_checkpoint)
@@ -203,8 +212,44 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
         print(f"WARNING: NET_G={net_g!r} not found — sampling from random "
               "stage-2 weights", flush=True)
 
-    ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="test",
-                             stage=2, imsize=int(cfg.IMSIZE), seed=seed)
+    imsize = int(cfg.IMSIZE)
+    test_dir = os.path.join(cfg.DATA_DIR, "test")
+    t7_path = os.path.join(test_dir, "val_captions.t7")
+    captions_list = None
+    if os.path.isfile(t7_path):
+        # reference path (trainer.py:300-307): char-CNN-RNN embeddings +
+        # raw captions from torch-lua, bbox/labels from the validation
+        # pickles, real image from IMG_DIR/<filename>.jpg
+        from PIL import Image
+
+        from multiple_objects_gan_tpu.io.torchfile import load_val_captions
+
+        captions_list, embeddings = load_val_captions(t7_path)
+        with open(os.path.join(test_dir, "bboxes.pickle"), "rb") as f:
+            val_bboxes = np.array(pickle.load(f), np.float32)
+        with open(os.path.join(test_dir, "labels.pickle"), "rb") as f:
+            val_labels = np.array(pickle.load(f))
+        with open(os.path.join(test_dir, "filenames.pickle"), "rb") as f:
+            val_filenames = pickle.load(f)
+        n_items = len(captions_list)
+        print(f"Successfully load sentences from: {test_dir}", flush=True)
+        print(f"Total number of sentences: {n_items}", flush=True)
+
+        def get_item(index):
+            name = str(val_filenames[index])
+            img = Image.open(os.path.join(
+                cfg.IMG_DIR, f"{name}.jpg")).convert("RGB").resize(
+                    (imsize, imsize), Image.LANCZOS)
+            real = np.asarray(img, np.float32) / 127.5 - 1.0
+            bbox = val_bboxes[index]
+            return {"image": real, "bbox": bbox, "bbox_s2": bbox,
+                    "label_onehot": labels_to_onehot(val_labels[index]),
+                    "text_embedding": embeddings[index]}
+    else:
+        ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="test",
+                                 stage=2, imsize=imsize, seed=seed)
+        n_items = len(ds)
+        get_item = ds.__getitem__
 
     # params enter as ARGUMENTS: baking full-width weights into the jaxpr
     # as constants overflows the tunneled backend's compile-request limit
@@ -221,9 +266,10 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
     out_dir = os.path.join(output_dir, "samples")
     os.makedirs(out_dir, exist_ok=True)
     rnd = np.random.RandomState(seed)
-    n_var = 4
+    n_var = 9  # real + 9 fakes, one 10-tile row (trainer.py:402-404,417)
     for s in range(num_samples):
-        item = ds[rnd.randint(len(ds))]
+        index = int(rnd.randint(n_items))
+        item = get_item(index)
         bbox_s1 = jnp.tile(jnp.asarray(item["bbox"])[None], (n_var, 1, 1))
         bbox_s2 = jnp.tile(jnp.asarray(item["bbox_s2"])[None], (n_var, 1, 1))
         labels = jnp.tile(jnp.asarray(item["label_onehot"])[None],
@@ -238,11 +284,17 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
                   if getattr(args, "stochastic_ca", False) else None)
         _, fakes = gen(s1_vars, g2_vars, z, bbox_s1, bbox_s2, labels, text,
                        ca_rng)
-        tiles = [draw_bboxes(to_uint8(f), item["bbox_s2"])
-                 for f in np.asarray(fakes)]
-        real = to_uint8(item["image"])
-        grid = np.stack([real / 127.5 - 1.0]
-                        + [t / 127.5 - 1.0 for t in tiles])
-        save_grid(grid, os.path.join(out_dir, f"sample_{s:03d}.png"), nrow=5)
+        # white bbox edges on ALL tiles, real included (trainer.py:406-415)
+        tiles = [draw_bboxes(to_uint8(item["image"]), item["bbox_s2"])]
+        tiles += [draw_bboxes(to_uint8(f), item["bbox_s2"])
+                  for f in np.asarray(fakes)]
+        grid = np.stack([t / 127.5 - 1.0 for t in tiles])
+        if captions_list is not None:
+            stem = "".join(c if c.isalnum() or c in " _-" else "_"
+                           for c in captions_list[index]).strip() or "sample"
+            name = f"{stem}.png"  # caption filename (trainer.py:417)
+        else:
+            name = f"sample_{s:03d}.png"
+        save_grid(grid, os.path.join(out_dir, name), nrow=10)
     print(f"wrote {num_samples} stage-2 sample grids to {out_dir}")
     return out_dir

@@ -221,3 +221,11 @@ def write_synthetic_coco(data_dir: str, img_dir: str, n: int = 64,
                       ("char-CNN-RNN-embeddings.pickle", np.stack(embs))]:
         with open(os.path.join(split_dir, name), "wb") as f:
             pickle.dump(obj, f)
+    if split == "test":
+        # the reference eval reads val_captions.t7 (torch-lua) for caption
+        # strings + embeddings (trainer.py:300-302); emit a real one so
+        # the t7 code path is exercised end to end on synthetic data
+        from multiple_objects_gan_tpu.io.torchfile import save as t7_save
+        t7_save(os.path.join(split_dir, "val_captions.t7"),
+                {"raw_txt": [f"synthetic caption {i}" for i in range(n)],
+                 "fea_txt": [e[:1] for e in embs]})
