@@ -107,29 +107,28 @@ class TorchBatchNorm(nn.Module):
             for ax in red:
                 n *= x.shape[ax]
 
-            def _bn(xv, scale, bias):
-                xf = xv.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16:
+                # Mixed-precision path: statistics accumulate in f32
+                # (dtype= on the reductions — the converts fuse into the
+                # reduce inputs), but the normalize affine runs natively
+                # in bf16 with per-channel f32 scalars cast down. The
+                # alternative — one f32 upcast of x shared by stats and
+                # normalize — MATERIALIZES the upcast (plus a layout
+                # copy) at 2x the layer's bytes in both forward and
+                # backward; measured as the dominant waste of the
+                # bandwidth-bound train steps.
+                mean = jnp.mean(x, axis=red, dtype=jnp.float32)
+                sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=red)
+                var = sq - jnp.square(mean)
+                inv = jax.lax.rsqrt(var + self.eps) * scale
+                y = ((x - mean.astype(x.dtype))
+                     * inv.astype(x.dtype) + bias.astype(x.dtype))
+            else:
+                xf = x.astype(jnp.float32)
                 mean = jnp.mean(xf, axis=red)
                 var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
                 inv = jax.lax.rsqrt(var + self.eps) * scale
-                y = (xf - mean) * inv + bias
-                return y.astype(xv.dtype), mean, var
-
-            # jax.vjp would otherwise save the f32 upcast of x as a
-            # backward residual — 2x the activation bytes of the whole
-            # layer, measurable on a bandwidth-bound step. checkpoint
-            # keeps the residual bf16 and recomputes the (cheap,
-            # fully-fused) f32 stats in the backward. Math unchanged.
-            # Measured crossover on TPU v5e: wins on the bandwidth-bound
-            # <=64px steps (mnist 18.8 -> 16.1 ms), loses ~4% on the
-            # compute-denser 128/256px attngan step where the recompute
-            # breaks up conv fusions — so it gates on spatial size like
-            # UpConv3x3's phase path.
-            small = x.ndim < 4 or (x.shape[1] * x.shape[2] <= 64 * 64)
-            if x.dtype == jnp.bfloat16 and small:
-                y, mean, var = jax.checkpoint(_bn)(x, scale, bias)
-            else:
-                y, mean, var = _bn(x, scale, bias)
+                y = ((xf - mean) * inv + bias).astype(x.dtype)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
