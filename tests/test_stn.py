@@ -18,6 +18,7 @@ from multiple_objects_gan_tpu.ops import (
     stn_extract_multi,
     stn_place,
     stn_place_multi,
+    stn_place_const_multi,
     stn_separable,
     transformation_matrix,
     transformation_matrix_inverse,
@@ -178,3 +179,24 @@ def test_grads_flow_through_separable():
     g = jax.grad(lambda im: stn_place(im, bbox, (16, 16)).sum())(img)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_bf16_resample_close_to_f32():
+    """The dtype-driven bf16 training path (mixed-precision resampling on
+    the MXU) stays within bf16 rounding of the f32/HIGHEST parity path;
+    output dtype follows the input dtype."""
+    rng = np.random.RandomState(8)
+    feats = rng.randn(2, 3, 8, 8, 5).astype(np.float32)
+    bbox = jnp.asarray(_rand_bbox(rng, 6).reshape(2, 3, 4))
+    f32 = np.asarray(stn_place_multi(jnp.asarray(feats), bbox, (16, 16)))
+    b16 = np.asarray(stn_place_multi(
+        jnp.asarray(feats, jnp.bfloat16), bbox, (16, 16)).astype(jnp.float32))
+    assert np.abs(b16 - f32).max() < 0.05  # ~bf16 eps * |sum of 3 objects|
+
+    labels = rng.randn(2, 3, 7).astype(np.float32)
+    f32c = np.asarray(stn_place_const_multi(jnp.asarray(labels), bbox,
+                                            (16, 16)))
+    b16c = np.asarray(stn_place_const_multi(
+        jnp.asarray(labels, jnp.bfloat16), bbox,
+        (16, 16)).astype(jnp.float32))
+    assert np.abs(b16c - f32c).max() < 0.05
