@@ -191,30 +191,41 @@ class _ConvKernel(nn.Module):
 
 
 class UpConv3x3(nn.Module):
-    """conv3x3(nearest_up_2x(x)) as four 2x2 phase convs — EXACT same
-    math (each 3x3 window on the upsampled grid touches at most 2x2
-    distinct source pixels, so the 3x3 kernel folds into four 2x2 phase
-    kernels), with 2.25x fewer MACs and no 4x-materialized upsampled
-    intermediate. Measured: lifts the mnist train step ~19 -> ~14 ms on
-    TPU v5e. Param tree identical to [upsample + Conv3x3].
+    """conv3x3(nearest_up_2x(x)) as ONE input-dilated conv — EXACT same
+    math: nearest-2x is a transposed conv with a 2x2 ones kernel, so the
+    composite is a single lhs_dilation=(2,2) conv with the composed 4x4
+    kernel K4 = K (*) ones(2x2). No 4x-materialized upsampled
+    intermediate, no extra passes. Param tree identical to
+    [upsample + Conv3x3] (the stored param stays the 3x3 kernel).
+
+    Measured on TPU v5e (bf16, reference batches) vs the naive
+    upsample+conv: mnist train step 15.3 -> 12.8 ms (10,009 img/s),
+    stage-2 137 -> 117 ms, attngan ~flat. It also beats the earlier
+    four-phase-conv decomposition (interleave copies) at every size, so
+    it is the default everywhere; MOG_UPCONV=phase|naive keep the other
+    formulations A/B-able (the phase path gates on MOG_PHASE_MAX_OUT).
     """
 
     features: int
     kernel_init: Callable = normal_init()
-    # measured crossover on TPU v5e: the phase path wins at small output
-    # maps (mnist 19.1 -> 18.7 ms) but loses at 128/256px outputs
-    # (attngan 71.3 -> 76.5 ms — the (H+1)(W+1) overcompute + interleave
-    # dominates once the conv is fully bandwidth-bound), so it gates on
-    # output size (override for A/B with MOG_PHASE_MAX_OUT; re-measured
-    # at 128/256 on stage-2 after the bf16 work: still a loss, see
-    # ROADMAP)
     phase_max_out: int = int(os.environ.get("MOG_PHASE_MAX_OUT", "64"))
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, cin = x.shape
         k = _ConvKernel(self.features, self.kernel_init, name="Conv_0")(cin)
-        if 2 * max(h, w) > self.phase_max_out:
+        mode = os.environ.get("MOG_UPCONV", "dilated")
+        if mode == "dilated":
+            kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
+            xx = x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE)
+            r = jnp.stack([kk[0], kk[0] + kk[1], kk[1] + kk[2], kk[2]],
+                          axis=0)
+            k4 = jnp.stack([r[:, 0], r[:, 0] + r[:, 1],
+                            r[:, 1] + r[:, 2], r[:, 2]], axis=1)
+            return jax.lax.conv_general_dilated(
+                xx, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if mode == "naive" or 2 * max(h, w) > self.phase_max_out:
             kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
             xx = upsample_nearest_2x(
                 x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE))
