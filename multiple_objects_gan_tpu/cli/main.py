@@ -53,6 +53,13 @@ def parse_args(argv=None):
                    help="reparametrize CA with fresh noise at eval "
                         "(reference eval behavior, stackgan "
                         "model.py:66-71) instead of c = mu")
+    p.add_argument("--num_objects", type=int, default=None,
+                   help="layout surgery at sampling: truncate / extend "
+                        "the per-image object count (ref "
+                        "trainer.py:219-243 num_digits_per_img)")
+    p.add_argument("--bbox_scale", type=float, default=None,
+                   help="layout surgery at sampling: scale every bbox's "
+                        "w/h (ref trainer.py:245-253 change_bbox_size)")
     p.add_argument("--eval_mode", default="auto",
                    choices=["auto", "sample", "sampling", "gen_example"],
                    help="attngan eval path: auto follows the reference "

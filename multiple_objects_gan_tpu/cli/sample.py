@@ -43,6 +43,13 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
     """Generate qualitative grids. Returns the directory written to."""
     import os as _os
 
+    # layout-surgery knobs: CLI flags override the kwargs (the reference
+    # exposes these only as code-edited parameters, trainer.py:219-253)
+    if getattr(args, "num_objects", None) is not None:
+        num_objects_override = args.num_objects
+    if getattr(args, "bbox_scale", None) is not None:
+        change_bbox_size = args.bbox_scale
+
     rng = jax.random.PRNGKey(seed)
     if state is None:
         from multiple_objects_gan_tpu.io.torch_import import (

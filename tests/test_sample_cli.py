@@ -55,3 +55,17 @@ def test_caption_lines():
     clab[0, 2] = 1.0   # sphere
     clab[0, 4 + 1] = 1.0  # red
     assert _caption_lines(clab, "clevr") == ["red sphere"]
+
+
+def test_cli_surgery_flags_plumb_through():
+    """--num_objects / --bbox_scale reach sample_stage1's surgery kwargs
+    (checked via the args-override logic, no model run needed)."""
+    import argparse
+
+    from multiple_objects_gan_tpu.cli.main import parse_args
+
+    args = parse_args(["--variant", "multi-mnist", "--cfg", "cfg/mnist_eval.yml",
+                       "--num_objects", "5", "--bbox_scale", "1.5"])
+    assert args.num_objects == 5 and args.bbox_scale == 1.5
+    args2 = parse_args(["--variant", "multi-mnist", "--cfg", "cfg/mnist_eval.yml"])
+    assert args2.num_objects is None and args2.bbox_scale is None
