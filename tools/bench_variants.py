@@ -40,15 +40,12 @@ def _sync_time(step, args, n=20, warmup=2, sync_key=None):
     return (time.perf_counter() - t0) / n
 
 
-def bench_mnist():
+def _bench_stage1(cfg, name, bs):
     from multiple_objects_gan_tpu.data.synthetic import synthetic_batch
-    from multiple_objects_gan_tpu.models import common
     from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
     from multiple_objects_gan_tpu.train.step import (
         create_state, make_train_step)
 
-    cfg = common.MNIST
-    bs = 128
     g, d = Stage1G(cfg), Stage1D(cfg)
     rng = jax.random.PRNGKey(0)
     state = create_state(cfg, g, d, rng, batch_size=2)
@@ -57,9 +54,26 @@ def bench_mnist():
     lr = jnp.float32(2e-4)
     dt = _sync_time(lambda s: step(s, batch, rng, lr, lr), (state,),
                     sync_key="d_loss")
-    return {"variant": "multi-mnist", "batch": bs,
+    return {"variant": name, "batch": bs,
             "step_ms": round(dt * 1000, 2),
             "img_per_sec": round(bs / dt, 1)}
+
+
+def bench_mnist():
+    from multiple_objects_gan_tpu.models import common
+    return _bench_stage1(common.MNIST, "multi-mnist", 128)
+
+
+def bench_clevr():
+    from multiple_objects_gan_tpu.models import common
+    # cfg/clevr_train.yml: batch 128, 4 objects, label embedding
+    return _bench_stage1(common.CLEVR, "clevr", 128)
+
+
+def bench_stackgan1():
+    from multiple_objects_gan_tpu.models import common
+    # cfg/coco_s1_train.yml: batch 128, CA + 81-class labels
+    return _bench_stage1(common.COCO_S1, "coco-stackgan-1", 128)
 
 
 def bench_stage2():
@@ -157,7 +171,8 @@ def bench_attngan():
             "img_per_sec": round(bs / dt, 1)}
 
 
-BENCHES = {"mnist": bench_mnist, "stage2": bench_stage2,
+BENCHES = {"mnist": bench_mnist, "clevr": bench_clevr,
+           "stackgan1": bench_stackgan1, "stage2": bench_stage2,
            "attngan": bench_attngan}
 
 
