@@ -195,7 +195,10 @@ def run(args, cfg, output_dir: str, seed: int):
         out = g.apply({"params": g_params, "batch_stats": g_stats},
                       z, sent, words, caps == 0, bbox, labels,
                       train=False, ca_rng=None)
-        return out["imgs"], out["att_maps"]
+        # f32 so host-side NumPy never reduces over bf16 (see
+        # train/step.py:make_sample_fn)
+        return ([im.astype(jnp.float32) for im in out["imgs"]],
+                [a.astype(jnp.float32) for a in out["att_maps"]])
 
     def _viz(state, batch, noise_key: int, tag: str):
         nviz = min(8, batch["captions"].shape[0])
@@ -276,7 +279,7 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
                       jnp.tile(caps == 0, (9, 1)),
                       jnp.tile(bbox, (9, 1, 1)),
                       jnp.tile(labels, (9, 1, 1)), train=False, ca_rng=None)
-        return out["imgs"][-1]
+        return out["imgs"][-1].astype(jnp.float32)
 
     g_vars = {"params": g_params, "batch_stats": g_stats}
 
@@ -348,7 +351,7 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
                                      train=False)
         out = g.apply(g_vars, z, sent, words, batch_caps == 0, bbox,
                       labels, train=False, ca_rng=None)
-        return out["imgs"][-1]
+        return out["imgs"][-1].astype(jnp.float32)
 
     g_vars = {"params": g_params, "batch_stats": g_stats}
 
@@ -416,8 +419,10 @@ def gen_example(cfg, captions_text: list[str], ds, mcfg, g, text_enc,
     @jax.jit
     def _gen(g_vars, text_vars, caps, lens, bbox, labels, z):
         words, sent = text_enc.apply(text_vars, caps, lens, train=False)
-        return g.apply(g_vars, z, sent, words, caps == 0, bbox, labels,
-                       train=False, ca_rng=None)
+        out = g.apply(g_vars, z, sent, words, caps == 0, bbox, labels,
+                      train=False, ca_rng=None)
+        # f32 so host-side NumPy never reduces over bf16
+        return jax.tree.map(lambda x: x.astype(jnp.float32), out)
 
     z = jax.random.normal(rng, (b, mcfg.z_dim))
     out = _gen({"params": g_params, "batch_stats": g_stats},

@@ -123,7 +123,9 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
                           ca_rng=None)
         out = g2.apply(g2_v, s1_out["img"], bbox_s1, bbox_s2, labels, text,
                        train=False, ca_rng=None)
-        return out["img"]
+        # f32 so host-side NumPy never reduces over bf16 (see
+        # train/step.py:make_sample_fn)
+        return out["img"].astype(jnp.float32)
 
     def epoch_end(state, batch, epoch):
         b = min(16, batch["image"].shape[0])
@@ -259,7 +261,8 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
                           ca_rng=ca_rng)
         out = g2.apply(g2_v, s1_out["img"], bbox_s1, bbox_s2, labels, text,
                        train=False, ca_rng=ca_rng)
-        return s1_out["img"], out["img"]
+        return (s1_out["img"].astype(jnp.float32),
+                out["img"].astype(jnp.float32))
 
     g2_vars = {"params": state.g_params, "batch_stats": state.g_stats}
 

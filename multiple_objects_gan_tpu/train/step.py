@@ -418,6 +418,10 @@ def make_sample_fn(cfg: Stage1Config, g_module) -> Callable:
         out = g_module.apply({"params": g_params, "batch_stats": g_stats},
                              z, bbox, labels, text, train=False,
                              ca_rng=ca_rng)
-        return out["img"]
+        # Always hand images back as f32: under a bf16 compute dtype the
+        # raw output is bf16, and host-side NumPy reductions over bf16
+        # arrays accumulate IN bf16 — a mean over ~1e5 pixels silently
+        # saturates to ~0 (ml_dtypes keeps the dtype through np.asarray).
+        return out["img"].astype(jnp.float32)
 
     return sample

@@ -49,3 +49,29 @@ def test_bf16_train_step_finite_f32_master_weights():
                                    float(m32["d_loss"]), rtol=0.05)
     finally:
         blocks.set_compute_dtype(None)
+
+
+def test_bf16_sample_fn_returns_f32():
+    """Eval outputs must come back f32 under a bf16 compute dtype: NumPy
+    keeps ml_dtypes bf16 through np.asarray and then ACCUMULATES
+    REDUCTIONS IN BF16 — a mean over ~1e5 pixels saturates to ~0
+    (this silently zeroed the first content-in-bbox validation)."""
+    from multiple_objects_gan_tpu.train.step import make_sample_fn
+
+    cfg = dataclasses.replace(common.MNIST, gf_dim=8, df_dim=4)
+    g, d = Stage1G(cfg), Stage1D(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, 4)
+    blocks.set_compute_dtype(jnp.bfloat16)
+    try:
+        state = create_state(cfg, g, d, rng, batch_size=2)
+        sample = make_sample_fn(cfg, g)
+        img = sample(state.g_params, state.g_stats,
+                     jax.random.normal(rng, (4, cfg.z_dim)),
+                     jnp.asarray(batch["bbox"]),
+                     jnp.asarray(batch["label_onehot"]), None)
+        assert img.dtype == jnp.float32
+        # the numpy round-trip keeps full precision now
+        assert np.isfinite(np.asarray(img).mean())
+    finally:
+        blocks.set_compute_dtype(None)

@@ -1,0 +1,145 @@
+"""End-to-end learning validation: train on synthetic data, restore the
+checkpoint, generate, and check the generated content is concentrated
+INSIDE the conditioned bboxes — the object-pathway mechanism working.
+
+The synthetic datasets draw bright label-colored objects at the bbox
+locations on dark backgrounds (data/*.py writers), so a G that learned
+the conditioning puts high intensity in-box and low intensity out-of-box.
+Prints one JSON line: {"variant", "epochs", "in_box", "out_box",
+"separation"} — separation = in_box - out_box on the [-1, 1] scale
+(round-2 reference values: mnist ~0.5, clevr ~0.7, stackgan-1 ~1.3).
+
+The dataset is pre-written at the round-2 reference sizes (mnist 5120,
+clevr 2560, coco 2048 images) — the CLI's own --synthetic fallback writes
+a much smaller smoke split (512/256/2*batch) which is too little signal
+for this check (76 steps leaves separation ~0; 800 steps reaches ~0.5).
+
+Usage: python tools/validate_learning.py [mnist|clevr|coco-stackgan-1]
+           [--epochs N] [--n N] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("variant", nargs="?", default="mnist",
+                   choices=["mnist", "clevr", "coco-stackgan-1"])
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--n", type=int, default=0,
+                   help="synthetic dataset size (0 = variant default)")
+    args = p.parse_args(argv)
+
+    from multiple_objects_gan_tpu.cli.main import main as cli_main
+
+    work = tempfile.mkdtemp(prefix=f"validate_{args.variant}_")
+    data_dir = os.path.join(work, "data")
+    out_dir = os.path.join(work, "out")
+    n = args.n or {"mnist": 5120, "clevr": 2560,
+                   "coco-stackgan-1": 2048}[args.variant]
+    if args.variant == "mnist":
+        from multiple_objects_gan_tpu.data.datasets import (
+            write_synthetic_multimnist)
+        write_synthetic_multimnist(data_dir, n=n, split="train",
+                                   seed=args.seed)
+    elif args.variant == "clevr":
+        from multiple_objects_gan_tpu.data.datasets import (
+            write_synthetic_clevr)
+        write_synthetic_clevr(data_dir, n=n, split="train", seed=args.seed)
+    else:
+        from multiple_objects_gan_tpu.data.coco import write_synthetic_coco
+        write_synthetic_coco(data_dir, os.path.join(work, "imgs"), n=n,
+                             seed=args.seed)
+    variant = {"mnist": "multi-mnist", "clevr": "clevr",
+               "coco-stackgan-1": "coco-stackgan-1"}[args.variant]
+    cfg_file = {"multi-mnist": "cfg/mnist_train.yml",
+                "clevr": "cfg/clevr_train.yml",
+                "coco-stackgan-1": "cfg/coco_s1_train.yml"}[variant]
+    cli_args = ["--variant", variant, "--cfg", cfg_file,
+                "--data_dir", data_dir, "--output_dir", out_dir,
+                "--synthetic", "--max_epochs", str(args.epochs),
+                "--manualSeed", str(args.seed)]
+    if variant == "coco-stackgan-1":
+        cli_args += ["--img_dir", os.path.join(work, "imgs")]
+    if args.bf16:
+        cli_args.append("--bf16")
+    cli_main(cli_args)
+
+    # restore the final checkpoint and generate with training layouts
+    import jax
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.train.step import (
+        create_state, make_sample_fn)
+
+    cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
+                   "coco-stackgan-1": "coco-stackgan"}[variant]
+    cfg = cfg_from_file(cfg_file, cfg_variant)
+    mcfg = stage1_model_config(cfg, cfg_variant)
+    g, d = Stage1G(mcfg), Stage1D(mcfg)
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_state(mcfg, g, d, rng, batch_size=2,
+                         use_ema=False)
+    mgr = CheckpointManager(os.path.join(out_dir, "models"))
+    state, epoch = mgr.restore(state)
+    print(f"restored epoch {epoch}", flush=True)
+
+    b, o = 32, mcfg.num_objects
+    rs = np.random.RandomState(args.seed + 1)
+    bbox = np.full((b, o, 4), -1.0, np.float32)
+    labels = np.zeros((b, o, mcfg.label_dim), np.float32)
+    for i in range(b):
+        n_obj = rs.randint(1, o + 1)
+        for j in range(n_obj):
+            w, h = rs.uniform(0.25, 0.4, 2)
+            bbox[i, j] = [rs.uniform(0, 1 - w), rs.uniform(0, 1 - h), w, h]
+            labels[i, j, rs.randint(0, mcfg.label_dim - 1)] = 1.0
+    text = (jnp.asarray(rs.randn(b, mcfg.text_dim).astype(np.float32))
+            if mcfg.use_ca else None)
+    z = jax.random.normal(rng, (b, mcfg.z_dim))
+    sample = make_sample_fn(mcfg, g)
+    # np.float32 belt-and-braces: NumPy reductions over ml_dtypes bf16
+    # arrays accumulate in bf16 and saturate (make_sample_fn already
+    # returns f32 since the same artifact bit this very script)
+    imgs = np.asarray(sample(state.g_params, state.g_stats, z,
+                             jnp.asarray(bbox), jnp.asarray(labels), text),
+                      np.float32)
+
+    size = imgs.shape[1]
+    inside = np.zeros(imgs.shape[:3], bool)
+    for i in range(b):
+        for j in range(o):
+            if bbox[i, j, 0] < 0:
+                continue
+            x0, y0 = (int(bbox[i, j, 0] * size), int(bbox[i, j, 1] * size))
+            x1 = min(int((bbox[i, j, 0] + bbox[i, j, 2]) * size), size)
+            y1 = min(int((bbox[i, j, 1] + bbox[i, j, 3]) * size), size)
+            inside[i, y0:y1, x0:x1] = True
+    lum = imgs.mean(axis=-1)
+    in_box = float(lum[inside].mean())
+    out_box = float(lum[~inside].mean())
+    print(json.dumps({
+        "variant": args.variant, "epochs": args.epochs,
+        "in_box": round(in_box, 3), "out_box": round(out_box, 3),
+        "separation": round(in_box - out_box, 3)}))
+
+
+if __name__ == "__main__":
+    main()
