@@ -6,8 +6,12 @@ The synthetic datasets draw bright label-colored objects at the bbox
 locations on dark backgrounds (data/*.py writers), so a G that learned
 the conditioning puts high intensity in-box and low intensity out-of-box.
 Prints one JSON line: {"variant", "epochs", "in_box", "out_box",
-"separation"} — separation = in_box - out_box on the [-1, 1] scale
-(round-2 reference values: mnist ~0.5, clevr ~0.7, stackgan-1 ~1.3).
+"separation"} — separation = in_box - out_box on the [-1, 1] scale.
+Reference values measured with THIS tool on the real TPU (bf16,
+default sizes/epochs): mnist 0.57, clevr 0.60, coco-stackgan-1 0.69;
+anything above ~0.3 means the object pathway is learning placement,
+~0 means it is not (or the measurement is reducing in bf16 — see
+CLAUDE.md).
 
 The dataset is pre-written at the round-2 reference sizes (mnist 5120,
 clevr 2560, coco 2048 images) — the CLI's own --synthetic fallback writes
