@@ -341,6 +341,15 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
                                   int(cfg.TEXT.WORDS_NUM))
 
     bs = int(cfg.TRAIN.BATCH_SIZE)
+    if len(ds) == 0:
+        raise ValueError("sampling(): empty test split")
+    if bs > len(ds):
+        # the drop-last loader would otherwise yield ZERO batches (e.g.
+        # eval cfg batch 50 vs a small test split) — clamp so the dump
+        # covers the whole split
+        print(f"sampling(): batch {bs} > test split {len(ds)} — "
+              f"clamping to {len(ds)}", flush=True)
+        bs = len(ds)
     loader = Loader(ds, bs, shuffle=False, seed=seed)
     out_dir = os.path.join(output_dir, "single_samples")
     os.makedirs(out_dir, exist_ok=True)
@@ -355,6 +364,36 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
 
     g_vars = {"params": g_params, "batch_stats": g_stats}
 
+    # bulk generation is embarrassingly data-parallel: on a multi-device
+    # mesh the conditioning batch is sharded over the data axis (weights
+    # replicated) and the SAME gen jit runs SPMD — XLA partitions it with
+    # no collectives in the forward. The batch is padded up to a multiple
+    # of the device count and the pad sliced off after.
+    from multiple_objects_gan_tpu.parallel import mesh as pmesh
+    n_dev = jax.device_count()
+    mesh = pmesh.make_mesh() if n_dev > 1 else None
+    text_vars = enc_vars["text"]
+    if mesh is not None:
+        g_vars = jax.device_put(g_vars, pmesh.replicated(mesh))
+        text_vars = jax.device_put(text_vars, pmesh.replicated(mesh))
+
+    def gen_sharded(caps, lens, bbox, labels, z):
+        if mesh is None:
+            return np.asarray(gen(g_vars, text_vars, jnp.asarray(caps),
+                                  jnp.asarray(lens), jnp.asarray(bbox),
+                                  jnp.asarray(labels), z))
+        b = caps.shape[0]
+        pad = (-b) % n_dev
+        inputs = {"caps": caps, "lens": lens, "bbox": bbox,
+                  "labels": labels, "z": np.asarray(z)}
+        if pad:
+            inputs = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                      for k, v in inputs.items()}
+        sh = pmesh.shard_batch(mesh, inputs)
+        out = np.asarray(gen(g_vars, text_vars, sh["caps"], sh["lens"],
+                             sh["bbox"], sh["labels"], sh["z"]))
+        return out[:b]
+
     written = 0
     limit = num_images or len(ds)
     fakes_acc, reals_acc = [], []
@@ -362,11 +401,10 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     for batch in loader.epoch(0):
         z = jax.random.normal(jax.random.fold_in(rng, written),
                               (bs, mcfg.z_dim))
-        imgs = np.asarray(gen(g_vars, enc_vars["text"],
-                              jnp.asarray(batch["captions"]),
-                              jnp.asarray(batch["cap_lens"]),
-                              jnp.asarray(batch["bbox"]),
-                              jnp.asarray(batch["label_onehot"]), z))
+        imgs = gen_sharded(np.asarray(batch["captions"]),
+                           np.asarray(batch["cap_lens"]),
+                           np.asarray(batch["bbox"]),
+                           np.asarray(batch["label_onehot"]), z)
         for i in range(imgs.shape[0]):
             Image.fromarray(to_uint8(imgs[i])).save(
                 os.path.join(out_dir, f"s_{written:06d}.png"))

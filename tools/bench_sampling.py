@@ -78,12 +78,73 @@ def bench_variant(name: str, bf16: bool) -> dict:
             "img_per_sec": round(bs / dt, 1)}
 
 
+def bench_attngan(bf16: bool, bs: int = 32) -> dict:
+    """Flagship serving path: RNN text encoder + full-width GNet to 256px
+    (the sampling()/gen_example closure shape, cli/attngan_runner.py)."""
+    import dataclasses
+
+    from multiple_objects_gan_tpu.models.attngan import COCO_ATTN, GNet
+    from multiple_objects_gan_tpu.nn import blocks
+    from multiple_objects_gan_tpu.nn.encoders import RNNEncoder
+
+    mcfg = dataclasses.replace(COCO_ATTN, gf_dim=48, df_dim=96,
+                               branch_num=3, r_num=2)
+    seq = 12
+    blocks.set_compute_dtype(jnp.bfloat16 if bf16 else None)
+    g = GNet(mcfg)
+    text_enc = RNNEncoder(ntoken=100, nhidden=mcfg.embedding_dim)
+    rng = jax.random.PRNGKey(0)
+    text_vars = jax.jit(lambda r: text_enc.init(
+        r, jnp.ones((2, seq), jnp.int32), jnp.full((2,), seq, jnp.int32),
+        train=False))(rng)
+    g_vars = jax.jit(lambda r: g.init(
+        r, jnp.zeros((2, mcfg.z_dim)), jnp.zeros((2, mcfg.embedding_dim)),
+        jnp.zeros((2, seq, mcfg.embedding_dim)),
+        jnp.zeros((2, seq), bool), jnp.zeros((2, 3, 4)),
+        jnp.zeros((2, 3, mcfg.label_dim)), train=False))(rng)
+
+    @jax.jit
+    def gen(g_vars, text_vars, caps, lens, bbox, labels, z):
+        words, sent = text_enc.apply(text_vars, caps, lens, train=False)
+        out = g.apply(g_vars, z, sent, words, caps == 0, bbox, labels,
+                      train=False, ca_rng=None)
+        img = out["imgs"][-1].astype(jnp.float32)
+        return img, jnp.sum(img[0, 0, 0])
+
+    rs = np.random.RandomState(0)
+    caps = jnp.asarray(rs.randint(1, 100, (bs, seq)).astype(np.int32))
+    lens = jnp.full((bs,), seq, jnp.int32)
+    bbox = jnp.asarray(np.tile([0.2, 0.2, 0.3, 0.3],
+                               (bs, 3, 1)).astype(np.float32))
+    labels = jnp.asarray(
+        np.eye(mcfg.label_dim, dtype=np.float32)[rs.randint(
+            0, mcfg.label_dim, (bs, 3))])
+    zs = [jax.random.normal(jax.random.fold_in(rng, i), (bs, mcfg.z_dim))
+          for i in range(4)]
+    for z in zs[:2]:
+        _, s = gen(g_vars, text_vars, caps, lens, bbox, labels, z)
+    float(s)
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        _, s = gen(g_vars, text_vars, caps, lens, bbox, labels,
+                   zs[i % len(zs)])
+    float(s)
+    dt = (time.perf_counter() - t0) / n
+    return {"variant": "attngan256", "batch": bs, "bf16": bf16,
+            "ms_per_batch": round(dt * 1e3, 2),
+            "img_per_sec": round(bs / dt, 1)}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     bf16 = "--f32" not in args
     names = [a for a in args if not a.startswith("--")] or ["mnist"]
     for name in names:
-        print(json.dumps(bench_variant(name, bf16)), flush=True)
+        if name == "attngan":
+            print(json.dumps(bench_attngan(bf16)), flush=True)
+        else:
+            print(json.dumps(bench_variant(name, bf16)), flush=True)
 
 
 if __name__ == "__main__":
