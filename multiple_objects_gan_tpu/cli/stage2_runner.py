@@ -102,6 +102,19 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
             start_epoch += 1
             print(f"resumed from {args.resume} at epoch {start_epoch}")
 
+    if not os.path.isfile(os.path.join(cfg.DATA_DIR, "train",
+                                       "filenames.pickle")):
+        # mirror the stage-1 train path's fallback (cli/main.py): the
+        # eval branch above already had one, but training on an empty
+        # data dir crashed instead of honoring --synthetic
+        if not getattr(args, "synthetic", False):
+            import sys
+            sys.exit(f"COCO data not found under {cfg.DATA_DIR} "
+                     "(pass --synthetic to generate one)")
+        from multiple_objects_gan_tpu.data.coco import write_synthetic_coco
+        write_synthetic_coco(cfg.DATA_DIR, cfg.IMG_DIR,
+                             n=max(2 * int(cfg.TRAIN.BATCH_SIZE), 64),
+                             seed=seed)
     ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                              stage=2, imsize=int(cfg.IMSIZE), seed=seed)
     loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,

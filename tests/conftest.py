@@ -24,10 +24,24 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
               " --xla_cpu_collective_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags.strip()
 
+import tempfile  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Per-RUN persistent compile cache (fresh tmpdir): several tests compile
+# IDENTICAL jaxprs in separate jit closures (the attngan resume e2e
+# recompiles the whole train step; CLI eval modes share generator
+# graphs), and pjit's in-memory cache can't dedup across function
+# objects. A run-local dir gets those hits with zero cross-host
+# staleness risk (a SHARED CPU cache dir SIGABRTs on host changes — see
+# CLAUDE.md; that is why this is NOT ~/.cache).
+jax.config.update("jax_compilation_cache_dir",
+                  tempfile.mkdtemp(prefix="jax_test_cache_"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} "

@@ -1,0 +1,71 @@
+"""Unit tests for the learning-validation tool's pure helpers.
+
+tools/validate_learning.py is the one-command train->restore->generate->
+content-in-bbox check (driven on the real TPU); its measurement helpers
+are pure NumPy and cheap to pin down here so a regression in the
+measurement itself can't masquerade as a learning regression again
+(see CLAUDE.md: the bf16 reduction artifact cost a debugging session).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from validate_learning import _random_layouts, _separation  # noqa: E402
+
+
+def test_separation_bright_inside():
+    # one image, one box covering the upper-left quadrant, bright inside
+    imgs = np.full((1, 32, 32, 3), -1.0, np.float32)
+    imgs[0, :16, :16, :] = 1.0
+    bbox = np.full((1, 3, 4), -1.0, np.float32)
+    bbox[0, 0] = [0.0, 0.0, 0.5, 0.5]
+    in_box, out_box = _separation(imgs, bbox)
+    assert in_box == 1.0
+    assert out_box == -1.0
+
+
+def test_separation_ignores_padded_boxes():
+    # padded (-1) boxes must not contribute an "inside" region
+    imgs = np.full((2, 16, 16, 3), 0.25, np.float32)
+    bbox = np.full((2, 4, 4), -1.0, np.float32)
+    bbox[0, 0] = [0.25, 0.25, 0.5, 0.5]
+    in_box, out_box = _separation(imgs, bbox)
+    assert np.isclose(in_box, 0.25) and np.isclose(out_box, 0.25)
+    # the inside mask covers only image 0's box: 8x8 of 2*16*16 pixels
+    size = 16
+    n_inside = (int(0.75 * size) - int(0.25 * size)) ** 2
+    lum = imgs.mean(axis=-1)
+    assert lum.size - n_inside == 2 * size * size - n_inside
+
+
+def test_separation_uniform_image_is_zero():
+    rs = np.random.RandomState(0)
+    imgs = rs.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32)
+    bbox, _, _ = _random_layouts(4, 3, 10, seed=1)
+    in_box, out_box = _separation(imgs, bbox)
+    # uniform noise: no separation beyond sampling error
+    assert abs(in_box - out_box) < 0.05
+
+
+def test_random_layouts_valid():
+    b, o, ld = 16, 4, 13
+    bbox, labels, rs = _random_layouts(b, o, ld, seed=7)
+    assert bbox.shape == (b, o, 4) and labels.shape == (b, o, ld)
+    active = bbox[..., 0] >= 0
+    # every image has at least one active object
+    assert active.any(axis=1).all()
+    # active boxes stay inside [0, 1] and carry exactly one label
+    x0, y0, w, h = (bbox[..., i] for i in range(4))
+    assert ((x0 + w)[active] <= 1.0 + 1e-6).all()
+    assert ((y0 + h)[active] <= 1.0 + 1e-6).all()
+    assert (labels[active].sum(axis=-1) == 1.0).all()
+    # padded rows are all -1 bbox and zero labels
+    assert (labels[~active] == 0).all()
+    assert (bbox[~active] == -1.0).all()

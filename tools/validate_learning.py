@@ -8,17 +8,22 @@ the conditioning puts high intensity in-box and low intensity out-of-box.
 Prints one JSON line: {"variant", "epochs", "in_box", "out_box",
 "separation"} — separation = in_box - out_box on the [-1, 1] scale.
 Reference values measured with THIS tool on the real TPU (bf16,
-default sizes/epochs): mnist 0.57, clevr 0.60, coco-stackgan-1 0.69;
-anything above ~0.3 means the object pathway is learning placement,
-~0 means it is not (or the measurement is reducing in bf16 — see
-CLAUDE.md).
+default sizes/epochs): mnist 0.57, clevr 0.60, coco-stackgan-1 0.69,
+coco-stackgan-2 (256px, random frozen stage-1) see ROADMAP; anything
+above ~0.3 means the object pathway is learning placement, ~0 means it
+is not (or the measurement is reducing in bf16 — see CLAUDE.md).
+
+attngan has no learning-validation mode here: without pretrained DAMSM
+encoders its full-width loss diverges by design (ROADMAP perf notes) —
+its end-to-end wiring is covered by tests/test_attngan_cli.py instead.
 
 The dataset is pre-written at the round-2 reference sizes (mnist 5120,
 clevr 2560, coco 2048 images) — the CLI's own --synthetic fallback writes
 a much smaller smoke split (512/256/2*batch) which is too little signal
 for this check (76 steps leaves separation ~0; 800 steps reaches ~0.5).
 
-Usage: python tools/validate_learning.py [mnist|clevr|coco-stackgan-1]
+Usage: python tools/validate_learning.py
+           [mnist|clevr|coco-stackgan-1|coco-stackgan-2]
            [--epochs N] [--n N] [--bf16]
 """
 
@@ -35,10 +40,132 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _separation(imgs: np.ndarray, bbox: np.ndarray) -> tuple[float, float]:
+    """Mean luminance inside vs outside the conditioned boxes."""
+    size = imgs.shape[1]
+    inside = np.zeros(imgs.shape[:3], bool)
+    for i in range(imgs.shape[0]):
+        for j in range(bbox.shape[1]):
+            if bbox[i, j, 0] < 0:
+                continue
+            x0, y0 = (int(bbox[i, j, 0] * size), int(bbox[i, j, 1] * size))
+            x1 = min(int((bbox[i, j, 0] + bbox[i, j, 2]) * size), size)
+            y1 = min(int((bbox[i, j, 1] + bbox[i, j, 3]) * size), size)
+            inside[i, y0:y1, x0:x1] = True
+    lum = imgs.mean(axis=-1)
+    return float(lum[inside].mean()), float(lum[~inside].mean())
+
+
+def _random_layouts(b: int, o: int, label_dim: int, seed: int):
+    rs = np.random.RandomState(seed)
+    bbox = np.full((b, o, 4), -1.0, np.float32)
+    labels = np.zeros((b, o, label_dim), np.float32)
+    for i in range(b):
+        n_obj = rs.randint(1, o + 1)
+        for j in range(n_obj):
+            w, h = rs.uniform(0.25, 0.4, 2)
+            bbox[i, j] = [rs.uniform(0, 1 - w), rs.uniform(0, 1 - h), w, h]
+            labels[i, j, rs.randint(0, label_dim - 1)] = 1.0
+    return bbox, labels, rs
+
+
+def _generate_stage1(cfg_file, cfg_variant, out_dir, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.train.step import (
+        create_state, make_sample_fn)
+
+    cfg = cfg_from_file(cfg_file, cfg_variant)
+    mcfg = stage1_model_config(cfg, cfg_variant)
+    g, d = Stage1G(mcfg), Stage1D(mcfg)
+    rng = jax.random.PRNGKey(seed)
+    state = create_state(mcfg, g, d, rng, batch_size=2, use_ema=False)
+    state, epoch = CheckpointManager(os.path.join(out_dir, "models")
+                                     ).restore(state)
+    print(f"restored epoch {epoch}", flush=True)
+
+    b = 32
+    bbox, labels, rs = _random_layouts(b, mcfg.num_objects, mcfg.label_dim,
+                                       seed + 1)
+    text = (jnp.asarray(rs.randn(b, mcfg.text_dim).astype(np.float32))
+            if mcfg.use_ca else None)
+    z = jax.random.normal(rng, (b, mcfg.z_dim))
+    sample = make_sample_fn(mcfg, g)
+    # np.float32 belt-and-braces: NumPy reductions over ml_dtypes bf16
+    # arrays accumulate in bf16 and saturate (make_sample_fn already
+    # returns f32 since the same artifact bit this very script)
+    imgs = np.asarray(sample(state.g_params, state.g_stats, z,
+                             jnp.asarray(bbox), jnp.asarray(labels), text),
+                      np.float32)
+    return imgs, bbox
+
+
+def _generate_stage2(cfg_file, out_dir, seed):
+    """Mirror cli/stage2_runner.run_stage2's model/state construction
+    (incl. the deterministic random frozen stage-1) and generate 256px."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.models.stage2 import (
+        COCO_S2, Stage2D, Stage2G)
+    from multiple_objects_gan_tpu.train.step import (
+        create_state, create_state_stage2)
+
+    cfg = cfg_from_file(cfg_file, "coco-stackgan")
+    s1_cfg = stage1_model_config(cfg, "coco-stackgan")
+    s2_cfg = dataclasses.replace(
+        COCO_S2, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
+        condition_dim=int(cfg.GAN.CONDITION_DIM),
+        d_cond_dim=int(cfg.GAN.CONDITION_DIM))
+    r_num = int(cfg.GAN.get("R_NUM", 2)) if hasattr(cfg.GAN, "get") else 2
+    g1, g2, d2 = Stage1G(s1_cfg), Stage2G(s2_cfg, r_num=r_num), \
+        Stage2D(s2_cfg)
+    rng = jax.random.PRNGKey(seed)
+    # same rng order as run_stage2 -> identical random frozen stage-1
+    s1_state = create_state(s1_cfg, g1, Stage1D(s1_cfg), rng, batch_size=2)
+    s1_vars = {"params": s1_state.g_params,
+               "batch_stats": s1_state.g_stats}
+    state = create_state_stage2(s2_cfg, g2, d2, rng, batch_size=2)
+    state, epoch = CheckpointManager(os.path.join(out_dir, "models")
+                                     ).restore(state)
+    print(f"restored epoch {epoch}", flush=True)
+
+    b = 16
+    bbox, labels, rs = _random_layouts(b, s1_cfg.num_objects,
+                                       s1_cfg.label_dim, seed + 1)
+    text = jnp.asarray(rs.randn(b, s1_cfg.text_dim).astype(np.float32))
+    z = jax.random.normal(rng, (b, s1_cfg.z_dim))
+    g2_vars = {"params": state.g_params, "batch_stats": state.g_stats}
+
+    @jax.jit
+    def gen(s1_v, g2_v, z, bbox, labels, text):
+        s1_out = g1.apply(s1_v, z, bbox, labels, text, train=False,
+                          ca_rng=None)
+        out = g2.apply(g2_v, s1_out["img"], bbox, bbox, labels, text,
+                       train=False, ca_rng=None)
+        return out["img"].astype(jnp.float32)
+
+    imgs = np.asarray(gen(s1_vars, g2_vars, z, jnp.asarray(bbox),
+                          jnp.asarray(labels), text), np.float32)
+    return imgs, bbox
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("variant", nargs="?", default="mnist",
-                   choices=["mnist", "clevr", "coco-stackgan-1"])
+                   choices=["mnist", "clevr", "coco-stackgan-1",
+                            "coco-stackgan-2"])
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -52,8 +179,8 @@ def main(argv=None):
     work = tempfile.mkdtemp(prefix=f"validate_{args.variant}_")
     data_dir = os.path.join(work, "data")
     out_dir = os.path.join(work, "out")
-    n = args.n or {"mnist": 5120, "clevr": 2560,
-                   "coco-stackgan-1": 2048}[args.variant]
+    n = args.n or {"mnist": 5120, "clevr": 2560, "coco-stackgan-1": 2048,
+                   "coco-stackgan-2": 2048}[args.variant]
     if args.variant == "mnist":
         from multiple_objects_gan_tpu.data.datasets import (
             write_synthetic_multimnist)
@@ -68,77 +195,31 @@ def main(argv=None):
         write_synthetic_coco(data_dir, os.path.join(work, "imgs"), n=n,
                              seed=args.seed)
     variant = {"mnist": "multi-mnist", "clevr": "clevr",
-               "coco-stackgan-1": "coco-stackgan-1"}[args.variant]
+               "coco-stackgan-1": "coco-stackgan-1",
+               "coco-stackgan-2": "coco-stackgan-2"}[args.variant]
     cfg_file = {"multi-mnist": "cfg/mnist_train.yml",
                 "clevr": "cfg/clevr_train.yml",
-                "coco-stackgan-1": "cfg/coco_s1_train.yml"}[variant]
+                "coco-stackgan-1": "cfg/coco_s1_train.yml",
+                "coco-stackgan-2": "cfg/coco_s2_train.yml"}[variant]
     cli_args = ["--variant", variant, "--cfg", cfg_file,
                 "--data_dir", data_dir, "--output_dir", out_dir,
                 "--synthetic", "--max_epochs", str(args.epochs),
                 "--manualSeed", str(args.seed)]
-    if variant == "coco-stackgan-1":
+    if variant.startswith("coco-stackgan"):
         cli_args += ["--img_dir", os.path.join(work, "imgs")]
     if args.bf16:
         cli_args.append("--bf16")
     cli_main(cli_args)
 
-    # restore the final checkpoint and generate with training layouts
-    import jax
-    import jax.numpy as jnp
+    if variant == "coco-stackgan-2":
+        imgs, bbox = _generate_stage2(cfg_file, out_dir, args.seed)
+    else:
+        cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
+                       "coco-stackgan-1": "coco-stackgan"}[variant]
+        imgs, bbox = _generate_stage1(cfg_file, cfg_variant, out_dir,
+                                      args.seed)
 
-    from multiple_objects_gan_tpu.config.config import (
-        cfg_from_file, stage1_model_config)
-    from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
-    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
-    from multiple_objects_gan_tpu.train.step import (
-        create_state, make_sample_fn)
-
-    cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
-                   "coco-stackgan-1": "coco-stackgan"}[variant]
-    cfg = cfg_from_file(cfg_file, cfg_variant)
-    mcfg = stage1_model_config(cfg, cfg_variant)
-    g, d = Stage1G(mcfg), Stage1D(mcfg)
-    rng = jax.random.PRNGKey(args.seed)
-    state = create_state(mcfg, g, d, rng, batch_size=2,
-                         use_ema=False)
-    mgr = CheckpointManager(os.path.join(out_dir, "models"))
-    state, epoch = mgr.restore(state)
-    print(f"restored epoch {epoch}", flush=True)
-
-    b, o = 32, mcfg.num_objects
-    rs = np.random.RandomState(args.seed + 1)
-    bbox = np.full((b, o, 4), -1.0, np.float32)
-    labels = np.zeros((b, o, mcfg.label_dim), np.float32)
-    for i in range(b):
-        n_obj = rs.randint(1, o + 1)
-        for j in range(n_obj):
-            w, h = rs.uniform(0.25, 0.4, 2)
-            bbox[i, j] = [rs.uniform(0, 1 - w), rs.uniform(0, 1 - h), w, h]
-            labels[i, j, rs.randint(0, mcfg.label_dim - 1)] = 1.0
-    text = (jnp.asarray(rs.randn(b, mcfg.text_dim).astype(np.float32))
-            if mcfg.use_ca else None)
-    z = jax.random.normal(rng, (b, mcfg.z_dim))
-    sample = make_sample_fn(mcfg, g)
-    # np.float32 belt-and-braces: NumPy reductions over ml_dtypes bf16
-    # arrays accumulate in bf16 and saturate (make_sample_fn already
-    # returns f32 since the same artifact bit this very script)
-    imgs = np.asarray(sample(state.g_params, state.g_stats, z,
-                             jnp.asarray(bbox), jnp.asarray(labels), text),
-                      np.float32)
-
-    size = imgs.shape[1]
-    inside = np.zeros(imgs.shape[:3], bool)
-    for i in range(b):
-        for j in range(o):
-            if bbox[i, j, 0] < 0:
-                continue
-            x0, y0 = (int(bbox[i, j, 0] * size), int(bbox[i, j, 1] * size))
-            x1 = min(int((bbox[i, j, 0] + bbox[i, j, 2]) * size), size)
-            y1 = min(int((bbox[i, j, 1] + bbox[i, j, 3]) * size), size)
-            inside[i, y0:y1, x0:x1] = True
-    lum = imgs.mean(axis=-1)
-    in_box = float(lum[inside].mean())
-    out_box = float(lum[~inside].mean())
+    in_box, out_box = _separation(imgs, bbox)
     print(json.dumps({
         "variant": args.variant, "epochs": args.epochs,
         "in_box": round(in_box, 3), "out_box": round(out_box, 3),
