@@ -29,6 +29,7 @@ import numpy as np
 
 from multiple_objects_gan_tpu.parallel import mesh as pmesh
 from multiple_objects_gan_tpu.utils.attention_viz import save_attention_montage
+from multiple_objects_gan_tpu.utils.images import as_model_image
 from multiple_objects_gan_tpu.utils.images import save_grid, to_uint8
 from multiple_objects_gan_tpu.utils.logging import MetricWriter
 
@@ -294,7 +295,7 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
                                jnp.asarray(batch["cap_lens"]),
                                jnp.asarray(batch["bbox"]),
                                jnp.asarray(batch["label_onehot"]), z))
-        real = np.asarray(batch[f"image{imsize}"][0], np.float32)
+        real = as_model_image(np.asarray(batch[f"image{imsize}"][0]))
         tiles = np.concatenate([real[None], fakes], axis=0)  # (10,H,W,3)
 
         if draw_bbox:
@@ -409,7 +410,7 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
             Image.fromarray(to_uint8(imgs[i])).save(
                 os.path.join(out_dir, f"s_{written:06d}.png"))
             fakes_acc.append(imgs[i])
-            reals_acc.append(np.asarray(batch[top][i], np.float32))
+            reals_acc.append(as_model_image(np.asarray(batch[top][i])))
             written += 1
             if written >= limit:
                 break

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.train.step import create_state, make_sample_fn
-from multiple_objects_gan_tpu.utils.images import save_grid
+from multiple_objects_gan_tpu.utils.images import as_model_image, save_grid
 
 CLEVR_SHAPE_NAMES = {0: "cube", 1: "cylinder", 2: "sphere"}
 CLEVR_COLOR_NAMES = {0: "gray", 1: "red", 2: "blue", 3: "green", 4: "brown",
@@ -108,7 +108,7 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
         # 20-tile composition (trainer.py:307-341): row 1 = real + 9 fakes
         # with white bbox edges, row 2 = the caption text strip chunked
         # into 10 tiles; saved with nrow=10.
-        tiles = np.concatenate([item["image"][None].astype(np.float32),
+        tiles = np.concatenate([as_model_image(item["image"])[None],
                                 fakes], axis=0)         # (10, H, W, C)
         if tiles.shape[-1] == 1:
             tiles = np.repeat(tiles, 3, axis=-1)

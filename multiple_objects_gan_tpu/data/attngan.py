@@ -172,7 +172,9 @@ class AttnGanDataset:
         key = str(self.filenames[index])
         img = Image.open(os.path.join(self.img_dir, key + ".jpg"))
         img = img.convert("RGB").resize((268, 268), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        # raw uint8 transport; all pyramid ops below stay uint8 like the
+        # reference's PIL pipeline; normalize-on-device (as_model_image)
+        arr = np.asarray(img)
 
         # 256 crop + flip with bbox rescale (datasets.py:95-137)
         flip = self._rng.rand() < 0.5
@@ -188,9 +190,8 @@ class AttnGanDataset:
             if s == 256:
                 out[f"image{s}"] = crop
             else:
-                im = Image.fromarray(((crop + 1) * 127.5).astype(np.uint8))
-                im = im.resize((s, s), Image.BILINEAR)
-                out[f"image{s}"] = np.asarray(im, np.float32) / 127.5 - 1.0
+                im = Image.fromarray(crop).resize((s, s), Image.BILINEAR)
+                out[f"image{s}"] = np.asarray(im)
 
         sent_ix = self._rng.randint(0, self.embeddings_num)
         caps, cap_len = self._get_caption(
@@ -215,9 +216,10 @@ class AttnGanDataset:
         n = len(idxs)
         paths = [os.path.join(self.img_dir, str(self.filenames[i]) + ".jpg")
                  for i in idxs]
-        arrs = decode_batch(paths, 268, 268, 3, threads=threads)
+        arrs = decode_batch(paths, 268, 268, 3, threads=threads,
+                            dtype=np.uint8)
 
-        imgs256 = np.empty((n, 256, 256, 3), np.float32)
+        imgs256 = np.empty((n, 256, 256, 3), np.uint8)
         bbox_out = np.empty((n, MAX_OBJECTS, 4), np.float32)
         caps = np.empty((n, self.words_num), np.int32)
         lens = np.empty((n,), np.int32)
@@ -237,13 +239,11 @@ class AttnGanDataset:
             if s == 256:
                 out[f"image{s}"] = imgs256
             else:
-                scaled = np.empty((n, s, s, 3), np.float32)
+                scaled = np.empty((n, s, s, 3), np.uint8)
                 for j in range(n):
-                    im = Image.fromarray(
-                        ((imgs256[j] + 1) * 127.5).astype(np.uint8))
-                    scaled[j] = np.asarray(
-                        im.resize((s, s), Image.BILINEAR),
-                        np.float32) / 127.5 - 1.0
+                    im = Image.fromarray(imgs256[j])
+                    scaled[j] = np.asarray(im.resize((s, s),
+                                                     Image.BILINEAR))
                 out[f"image{s}"] = scaled
         out.update({
             "bbox": bbox_out,

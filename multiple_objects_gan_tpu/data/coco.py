@@ -87,7 +87,9 @@ class CocoStackganDataset:
         key = str(self.filenames[index])
         img = Image.open(os.path.join(self.img_dir, key + ".jpg")).convert("RGB")
         img = img.resize((self.ori_size, self.ori_size), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0  # (H, W, 3) in [-1,1]
+        # raw uint8 transport — crop/flip below stay uint8 like the
+        # reference's PIL pipeline; normalize-on-device (as_model_image)
+        arr = np.asarray(img)  # (H, W, 3) uint8
 
         bbox = self.bboxes[index]
         embs = self.embeddings[index]
@@ -142,10 +144,10 @@ class CocoStackganDataset:
         paths = [os.path.join(self.img_dir, str(self.filenames[i]) + ".jpg")
                  for i in idxs]
         arrs = decode_batch(paths, self.ori_size, self.ori_size, 3,
-                            threads=threads)
+                            threads=threads, dtype=np.uint8)
 
         size = self.imsize if self.crop else self.ori_size
-        imgs = np.empty((n, size, size, 3), np.float32)
+        imgs = np.empty((n, size, size, 3), np.uint8)
         bbox1 = np.empty((n, self.max_objects, 4), np.float32)
         bbox2 = (np.empty((n, self.max_objects, 4), np.float32)
                  if self.stage == 2 else None)

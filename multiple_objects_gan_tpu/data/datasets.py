@@ -9,8 +9,11 @@ Parity targets:
     <data_dir>/<split>/images/*.png + scenes/*.json; bboxes normalized by
     image size, padded with -1 to 4 objects; shape(4)+color(9) one-hots via
     scatter; random h-flip mirrors bbox x (x' = 1 - x - w).
-  * Images: PIL load, ToTensor + Normalize(0.5) -> [-1, 1]
-    (code/multi-mnist/main.py:80-82).
+  * Images: PIL load; ToTensor + Normalize(0.5) -> [-1, 1]
+    (code/multi-mnist/main.py:80-82) — the PIL-side transforms run on
+    uint8 exactly like the reference, and batches SHIP as raw uint8
+    (normalize-on-device via utils.images.as_model_image: 4x fewer
+    host->device bytes, the cast fuses into the first conv).
 
 The loader is a simple shuffled, drop-last, background-thread-prefetched
 batcher (replacing torch DataLoader worker processes); batches are numpy
@@ -35,12 +38,16 @@ CLEVR_COLORS = {"gray": 0, "red": 1, "blue": 2, "green": 3, "brown": 4,
 
 
 def _load_image(path: str, channels: int) -> np.ndarray:
+    """Decode to raw uint8 HWC — the transport format. Normalization to
+    [-1, 1] (ToTensor + Normalize(0.5), code/multi-mnist/main.py:80-82)
+    happens on-device via utils.images.as_model_image, where the cast
+    fuses into the first consumer; shipping uint8 moves 4x fewer bytes."""
     img = Image.open(path)
     img = img.convert("L" if channels == 1 else "RGB")
-    arr = np.asarray(img, np.float32) / 255.0
+    arr = np.asarray(img)
     if channels == 1:
         arr = arr[..., None]
-    return arr * 2.0 - 1.0  # Normalize(0.5, 0.5)
+    return arr
 
 
 class MultiMnistDataset:
@@ -62,9 +69,10 @@ class MultiMnistDataset:
             self.bboxes = np.array(pickle.load(f), dtype=np.float32)
         with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
             self.labels = np.array(pickle.load(f), dtype=np.float32)
-        # RAM cache: 64px grayscale is ~16KB/image — decode the whole split
-        # once with the native threaded loader, serve batches as array
-        # slices (the device step is ~50x faster than per-epoch re-decode)
+        # RAM cache: 64px grayscale is ~4KB/image as uint8 — decode the
+        # whole split once with the native threaded loader, serve batches
+        # as array slices (the device step is ~50x faster than per-epoch
+        # re-decode)
         self._cache = None
         if cache:
             from multiple_objects_gan_tpu.data.native_loader import (
@@ -73,7 +81,7 @@ class MultiMnistDataset:
                                   str(f).split("/")[-1])
                      for f in self.filenames]
             self._cache = decode_batch(paths, imsize, imsize, self.channels,
-                                       threads=16)
+                                       threads=16, dtype=np.uint8)
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -96,7 +104,8 @@ class MultiMnistDataset:
                                   str(self.filenames[i]).split("/")[-1])
                      for i in idxs]
             imgs = decode_batch(paths, self.imsize, self.imsize,
-                                self.channels, threads=threads)
+                                self.channels, threads=threads,
+                                dtype=np.uint8)
         return {"image": imgs,
                 "bbox": self.bboxes[idxs].astype(np.float32),
                 "label_onehot": self.labels[idxs].astype(np.float32)}
@@ -141,10 +150,11 @@ class ClevrDataset:
             valid = bbox[:, 0] >= 0
             bbox[valid, 0] = 1.0 - bbox[valid, 0] - bbox[valid, 2]
         if img.shape[0] != self.imsize:
-            im = Image.fromarray(
-                ((img + 1.0) * 127.5).astype(np.uint8)).resize(
-                    (self.imsize, self.imsize), Image.BILINEAR)
-            img = np.asarray(im, np.float32) / 127.5 - 1.0
+            # uint8 throughout — exactly the reference's PIL-then-ToTensor
+            # order (transforms on uint8, normalize last)
+            im = Image.fromarray(img).resize(
+                (self.imsize, self.imsize), Image.BILINEAR)
+            img = np.asarray(im)
         return {"image": img, "bbox": bbox, "label_onehot": label}
 
 

@@ -37,6 +37,11 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.mog_decode_batch.restype = ctypes.c_int
+    lib.mog_decode_batch_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.mog_decode_batch_u8.restype = ctypes.c_int
     return lib
 
 
@@ -54,19 +59,32 @@ def get_lib():
 
 
 def decode_batch(paths: list[str], out_h: int, out_w: int, out_c: int,
-                 threads: int = 8) -> np.ndarray:
-    """Decode+resize+normalize a batch of image files -> (N, H, W, C)
-    float32 in [-1, 1]. Uses the C++ thread pool when available."""
+                 threads: int = 8, dtype=np.float32) -> np.ndarray:
+    """Decode+resize a batch of image files -> (N, H, W, C).
+
+    dtype=np.uint8 returns raw [0, 255] pixels — the transport format for
+    the device input path: the reference pipeline keeps uint8 through
+    every PIL transform and only normalizes in ToTensor
+    (code/multi-mnist/main.py:80-82), so shipping uint8 and normalizing
+    on-device (utils.images.as_model_image) is bit-faithful and moves 4x
+    fewer bytes host->device. dtype=np.float32 returns normalized [-1, 1]
+    directly. Uses the C++ thread pool when available."""
     n = len(paths)
-    out = np.empty((n, out_h, out_w, out_c), np.float32)
+    dtype = np.dtype(dtype)
+    out = np.empty((n, out_h, out_w, out_c), dtype)
     # more workers than cores just thrash (bench hosts can have 1 core)
     threads = max(1, min(threads, os.cpu_count() or 1, n))
     lib = get_lib()
     if lib is not None:
         buf = b"\0".join(p.encode() for p in paths) + b"\0"
-        got = lib.mog_decode_batch(
-            buf, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            out_h, out_w, out_c, threads)
+        if dtype == np.uint8:
+            got = lib.mog_decode_batch_u8(
+                buf, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out_h, out_w, out_c, threads)
+        else:
+            got = lib.mog_decode_batch(
+                buf, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                out_h, out_w, out_c, threads)
         if got == n:
             return out
         # partial failure: retry everything via PIL; unreadable files stay 0
@@ -75,12 +93,13 @@ def decode_batch(paths: list[str], out_h: int, out_w: int, out_c: int,
         try:
             img = Image.open(p).convert("L" if out_c == 1 else "RGB")
         except OSError:
-            out[i] = 0.0
+            out[i] = 0
             continue
         if img.size != (out_w, out_h):
             img = img.resize((out_w, out_h), Image.BILINEAR)
-        arr = np.asarray(img, np.float32)
+        arr = np.asarray(img)
         if out_c == 1:
             arr = arr[..., None]
-        out[i] = arr / 127.5 - 1.0
+        out[i] = arr if dtype == np.uint8 else (
+            arr.astype(np.float32) / 127.5 - 1.0)
     return out

@@ -26,6 +26,7 @@ from multiple_objects_gan_tpu.losses.gan import kl_loss
 from multiple_objects_gan_tpu.models.attngan import AttnGanConfig
 from multiple_objects_gan_tpu.train.state import GANTrainState
 from multiple_objects_gan_tpu.train.step import make_optimizer
+from multiple_objects_gan_tpu.utils.images import as_model_image
 
 Array = jax.Array
 
@@ -188,7 +189,8 @@ def make_attngan_train_step(cfg: AttnGanConfig, g_module, d_modules: dict,
         d_losses = {}
         for i, name in enumerate(scales):
             mod = d_modules[name]
-            real = batch[f"image{name[1:]}"]
+            # uint8 transport -> [-1, 1] on device (fuses into D)
+            real = as_model_image(batch[f"image{name[1:]}"])
             fake = prim["imgs"][i]
 
             def d_loss_fn(p, mod=mod, name=name, real=real, fake=fake):

@@ -43,6 +43,7 @@ from multiple_objects_gan_tpu.losses import (
 )
 from multiple_objects_gan_tpu.models.common import Stage1Config
 from multiple_objects_gan_tpu.train.state import GANTrainState
+from multiple_objects_gan_tpu.utils.images import as_model_image
 
 Array = jax.Array
 
@@ -127,7 +128,9 @@ def make_train_step(cfg: Stage1Config, g_module, d_module,
                    lr_g: Array, lr_d: Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_z, rng_ca = jax.random.split(rng)
-        image = batch["image"]
+        # batches ship images as raw uint8 (4x fewer host->device bytes);
+        # the [-1, 1] normalize runs on-device and fuses into D's first conv
+        image = as_model_image(batch["image"])
         labels = batch["label_onehot"]
         bbox = batch["bbox"]
         text = batch.get("text_embedding")
@@ -301,7 +304,7 @@ def make_stage2_train_step(cfg, s1_cfg, g1_module, g2_module, d2_module,
                    rng: Array, lr_g: Array, lr_d: Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_z, rng_ca1, rng_ca2 = jax.random.split(rng, 3)
-        image = batch["image"]                       # 256px real
+        image = as_model_image(batch["image"])       # 256px real
         labels = batch["label_onehot"]
         bbox_s1 = batch["bbox"]
         bbox_s2 = batch["bbox_s2"]

@@ -15,12 +15,29 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 
+def as_model_image(img):
+    """Transport uint8 [0, 255] -> model float32 [-1, 1]; float images
+    pass through unchanged.
+
+    The data pipeline ships images as raw uint8 (the reference keeps
+    uint8 through every PIL transform and only normalizes in ToTensor,
+    code/multi-mnist/main.py:80-82) — 4x fewer host->device bytes. Works
+    on numpy AND jax arrays: inside jit the convert fuses into the first
+    consumer, so on-device normalization is free."""
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 127.5 - 1.0
+    return img
+
+
 def to_uint8(img: np.ndarray, from_range=(-1.0, 1.0)) -> np.ndarray:
-    """(H, W, C) float in from_range -> uint8 RGB."""
-    lo, hi = from_range
-    x = (np.asarray(img, np.float32) - lo) / (hi - lo)
-    x = np.clip(x, 0.0, 1.0)
-    x = (x * 255.0 + 0.5).astype(np.uint8)
+    """(H, W, C) float in from_range -> uint8 RGB. uint8 inputs (the
+    loader transport format) pass through, only gray->RGB expanded."""
+    x = np.asarray(img)
+    if x.dtype != np.uint8:
+        lo, hi = from_range
+        x = (np.asarray(x, np.float32) - lo) / (hi - lo)
+        x = np.clip(x, 0.0, 1.0)
+        x = (x * 255.0 + 0.5).astype(np.uint8)
     if x.shape[-1] == 1:
         x = np.repeat(x, 3, axis=-1)
     return x

@@ -135,15 +135,36 @@ Decoded decode_file(const char* path) {
   return out;
 }
 
+// Output conversion policies: float32 [-1, 1] (legacy) or raw uint8
+// [0, 255] rounded to nearest — the transport format for the device path
+// (the reference pipeline keeps uint8 through every PIL transform and only
+// normalizes in ToTensor, code/multi-mnist/main.py:80-82; shipping uint8
+// and normalizing on-device cuts host->device bytes 4x and the cast fuses
+// into the first consumer on TPU).
+struct WriteF32 {
+  using T = float;
+  static inline float convert(float v) { return v / 127.5f - 1.0f; }
+};
+struct WriteU8 {
+  using T = uint8_t;
+  static inline uint8_t convert(float v) {
+    float r = v + 0.5f;
+    if (r < 0.0f) r = 0.0f;
+    if (r > 255.0f) r = 255.0f;
+    return static_cast<uint8_t>(r);
+  }
+};
+
 // Bilinear resize (half-pixel centers, matches PIL.Image.BILINEAR closely)
-// + channel conversion + normalize to [-1, 1] float32, NHWC.
+// + channel conversion + output conversion (see policies above), NHWC.
 //
 // Hot path: per-axis sample positions/weights are precomputed once and the
 // inner loops are specialized per channel layout so the compiler can
 // vectorize them (the naive per-pixel-per-channel formulation was ~5x
 // slower and made the native loader lose to PIL on one core).
-void resize_normalize(const Decoded& img, float* dst, int out_h, int out_w,
-                      int out_c) {
+template <typename Policy>
+void resize_convert(const Decoded& img, typename Policy::T* dst, int out_h,
+                    int out_w, int out_c) {
   const float sx = static_cast<float>(img.width) / out_w;
   const float sy = static_cast<float>(img.height) / out_h;
   const int ic = img.channels;
@@ -194,37 +215,32 @@ void resize_normalize(const Decoded& img, float* dst, int out_h, int out_w,
       }
     }
 
-    float* out_row = dst + static_cast<size_t>(oy) * out_w * out_c;
+    typename Policy::T* out_row =
+        dst + static_cast<size_t>(oy) * out_w * out_c;
     if (rgb_to_gray) {
       for (int ox = 0; ox < out_w; ++ox) {
         const float* px = row.data() + static_cast<size_t>(ox) * 3;
         float v = 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2];
-        out_row[ox] = v / 127.5f - 1.0f;
+        out_row[ox] = Policy::convert(v);
       }
     } else if (ic >= out_c) {
       const int cc = out_c;
       for (int ox = 0; ox < out_w; ++ox)
         for (int c = 0; c < cc; ++c)
           out_row[static_cast<size_t>(ox) * cc + c] =
-              row[static_cast<size_t>(ox) * ic + c] / 127.5f - 1.0f;
+              Policy::convert(row[static_cast<size_t>(ox) * ic + c]);
     } else {  // gray source -> RGB out: broadcast channel 0
       for (int ox = 0; ox < out_w; ++ox)
         for (int c = 0; c < out_c; ++c)
           out_row[static_cast<size_t>(ox) * out_c + c] =
-              row[ox] / 127.5f - 1.0f;
+              Policy::convert(row[ox]);
     }
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode `n` images (paths as \0-separated buffer) into a preallocated
-// float32 NHWC buffer (n, out_h, out_w, out_c) in [-1, 1], using `threads`
-// worker threads. Returns the number of successfully decoded images.
-int mog_decode_batch(const char* paths, int n, float* out, int out_h,
-                     int out_w, int out_c, int threads) {
+template <typename Policy>
+int decode_batch_impl(const char* paths, int n, typename Policy::T* out,
+                      int out_h, int out_w, int out_c, int threads) {
   std::vector<const char*> files(n);
   const char* p = paths;
   for (int i = 0; i < n; ++i) {
@@ -240,10 +256,10 @@ int mog_decode_batch(const char* paths, int n, float* out, int out_h,
       for (int i = t; i < n; i += threads) {
         Decoded img = decode_file(files[i]);
         if (!img.ok) {
-          memset(out + per * i, 0, per * sizeof(float));
+          memset(out + per * i, 0, per * sizeof(typename Policy::T));
           continue;
         }
-        resize_normalize(img, out + per * i, out_h, out_w, out_c);
+        resize_convert<Policy>(img, out + per * i, out_h, out_w, out_c);
         ok[i] = 1;
       }
     });
@@ -252,6 +268,27 @@ int mog_decode_batch(const char* paths, int n, float* out, int out_h,
   int total = 0;
   for (int v : ok) total += v;
   return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `n` images (paths as \0-separated buffer) into a preallocated
+// float32 NHWC buffer (n, out_h, out_w, out_c) in [-1, 1], using `threads`
+// worker threads. Returns the number of successfully decoded images.
+int mog_decode_batch(const char* paths, int n, float* out, int out_h,
+                     int out_w, int out_c, int threads) {
+  return decode_batch_impl<WriteF32>(paths, n, out, out_h, out_w, out_c,
+                                     threads);
+}
+
+// Same, but into a raw uint8 NHWC buffer in [0, 255] — the transport
+// format for the device input path (normalization happens on-device).
+int mog_decode_batch_u8(const char* paths, int n, uint8_t* out, int out_h,
+                        int out_w, int out_c, int threads) {
+  return decode_batch_impl<WriteU8>(paths, n, out, out_h, out_w, out_c,
+                                    threads);
 }
 
 // Single-image probe: returns (w << 20 | h) or -1.

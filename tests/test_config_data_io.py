@@ -61,7 +61,12 @@ def test_multimnist_roundtrip(tmp_path):
     assert len(ds) == 16
     item = ds[0]
     assert item["image"].shape == (64, 64, 1)
-    assert item["image"].min() >= -1.0 and item["image"].max() <= 1.0
+    # raw uint8 transport; [-1, 1] normalization happens on-device
+    assert item["image"].dtype == np.uint8
+    from multiple_objects_gan_tpu.utils.images import as_model_image
+    norm = as_model_image(item["image"])
+    assert norm.dtype == np.float32
+    assert norm.min() >= -1.0 and norm.max() <= 1.0
     assert item["bbox"].shape == (3, 4)
     assert item["label_onehot"].shape == (3, 10)
     loader = Loader(ds, 4)
@@ -131,8 +136,14 @@ def test_attngan_get_batch_matches_per_item(tmp_path):
     ref = {k: np.stack([it[k] for it in items]) for k in items[0]}
     assert set(batch) == set(ref)
     for k in ref:
-        np.testing.assert_allclose(batch[k], ref[k], atol=2e-2,
-                                   err_msg=k)
+        a, b = batch[k], ref[k]
+        if a.dtype == np.uint8:  # uint8 image transport: compare in f32
+            assert b.dtype == np.uint8, k
+            np.testing.assert_allclose(a.astype(np.float32),
+                                       b.astype(np.float32), atol=2.6,
+                                       err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, atol=2e-2, err_msg=k)
     np.testing.assert_array_equal(batch["captions"], ref["captions"])
     np.testing.assert_allclose(batch["bbox"], ref["bbox"], atol=1e-6)
 
@@ -155,8 +166,10 @@ def test_coco_get_batch_matches_per_item(tmp_path):
     np.testing.assert_allclose(batch["bbox_s2"], ref["bbox_s2"], atol=1e-6)
     np.testing.assert_allclose(batch["text_embedding"],
                                ref["text_embedding"], atol=1e-6)
-    # decode backends differ only in bilinear filter tails
-    np.testing.assert_allclose(batch["image"], ref["image"], atol=6e-2)
+    # decode backends differ only in bilinear filter tails (uint8 units)
+    assert batch["image"].dtype == np.uint8 == ref["image"].dtype
+    np.testing.assert_allclose(batch["image"].astype(np.float32),
+                               ref["image"].astype(np.float32), atol=8.0)
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -86,3 +86,27 @@ def test_missing_file_zero_filled(images, tmp_path):
     out = decode_batch([str(tmp_path / "nope.png"), images[0][0]], 48, 48, 3)
     np.testing.assert_allclose(out[0], 0.0)  # unreadable -> zeros, no crash
     assert np.abs(out[1]).max() > 0  # the good file still decodes
+
+
+def test_uint8_native_size_bit_exact(images):
+    """dtype=uint8 is the transport format: raw pixels, no normalize."""
+    p, rgb = images[0]
+    out = decode_batch([p], 48, 48, 3, dtype=np.uint8)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out[0], rgb)
+
+
+def test_uint8_matches_f32_path_after_rounding(images):
+    """The u8 and f32 native paths share one resize; u8 is the rounded
+    pre-normalize value (exactly what PIL-then-ToTensor would produce)."""
+    p, _ = images[0]
+    u8 = decode_batch([p], 24, 24, 3, dtype=np.uint8)
+    f32 = decode_batch([p], 24, 24, 3, dtype=np.float32)
+    denorm = (f32[0] + 1.0) * 127.5
+    assert np.abs(denorm - u8[0].astype(np.float32)).max() <= 0.5 + 1e-4
+
+
+def test_uint8_gray(images):
+    p, gray = images[1]
+    out = decode_batch([p], 64, 64, 1, dtype=np.uint8)
+    np.testing.assert_array_equal(out[0, ..., 0], gray)
