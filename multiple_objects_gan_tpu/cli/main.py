@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    help="output dir of a previous run to resume from")
     p.add_argument("--max_epochs", type=int, default=None,
                    help="override TRAIN.MAX_EPOCH (smoke runs)")
+    p.add_argument("--snapshot_interval", type=int, default=None,
+                   help="override TRAIN.SNAPSHOT_INTERVAL (the final "
+                        "epoch is always checkpointed; a large value "
+                        "skips mid-run snapshots — a full stage-2 state "
+                        "is ~2.5 GB, a slow fetch on tunneled dev TPUs)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic dataset when data is absent")
     p.add_argument("--profile", default="",
@@ -101,6 +106,8 @@ def main(argv=None):
         cfg.IMG_DIR = args.img_dir
     if args.gpu_id:
         cfg.GPU_ID = args.gpu_id  # recorded in the cfg snapshot; no-op on TPU
+    if args.snapshot_interval is not None:
+        cfg.TRAIN.SNAPSHOT_INTERVAL = args.snapshot_interval
 
     seed = args.manualSeed
     if seed is None:

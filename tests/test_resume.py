@@ -40,3 +40,24 @@ def test_loop_resume_roundtrip(tmp_path, capsys):
     # resumed at epoch 2, ran one more epoch: 4 + 2 = 6 steps
     assert int(np.asarray(state2.step)) == 6
     assert os.path.isdir(os.path.join(out2, "models"))
+
+
+def test_final_epoch_always_snapshotted(tmp_path):
+    """A large SNAPSHOT_INTERVAL skips mid-run snapshots but the last
+    epoch is still checkpointed (the contract behind the CLI's
+    --snapshot_interval override)."""
+    data_dir = str(tmp_path / "data")
+    write_synthetic_multimnist(data_dir, n=16, split="train")
+    ds = MultiMnistDataset(data_dir, split="train")
+    loader = Loader(ds, 8, shuffle=True, seed=0)
+
+    cfg = default_config("multi-mnist")
+    cfg.TRAIN.SNAPSHOT_INTERVAL = 50  # >> max_epochs
+    mcfg = dataclasses.replace(common.MNIST, gf_dim=8, df_dim=4)
+    out = str(tmp_path / "run")
+    train(cfg, mcfg, Stage1G(mcfg), Stage1D(mcfg), loader, out,
+          seed=0, max_epochs=2)
+    model_dir = os.path.join(out, "models")
+    epochs = sorted(d for d in os.listdir(model_dir)
+                    if d.split(".")[0].isdigit())
+    assert epochs == ["1"], epochs  # only the final epoch

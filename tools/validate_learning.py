@@ -204,6 +204,10 @@ def main(argv=None):
     cli_args = ["--variant", variant, "--cfg", cfg_file,
                 "--data_dir", data_dir, "--output_dir", out_dir,
                 "--synthetic", "--max_epochs", str(args.epochs),
+                # only the final epoch's checkpoint is needed here; a
+                # mid-run stage-2 snapshot is a ~2.5 GB fetch (slow on
+                # tunneled dev TPUs)
+                "--snapshot_interval", str(10 * args.epochs),
                 "--manualSeed", str(args.seed)]
     if variant.startswith("coco-stackgan"):
         cli_args += ["--img_dir", os.path.join(work, "imgs")]
