@@ -15,6 +15,7 @@ plain BCE on probabilities with torch-style log clamping.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -31,12 +32,34 @@ from multiple_objects_gan_tpu.utils.images import as_model_image
 Array = jax.Array
 
 
-def bce_probs(p: Array, target: float) -> Array:
-    """torch BCELoss on probabilities (log clamped to >= -100)."""
-    p = p.astype(jnp.float32)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _bce_probs_f32(p: Array, target: float) -> Array:
     logp = jnp.maximum(jnp.log(jnp.maximum(p, 1e-44)), -100.0)
     log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 1e-44)), -100.0)
     return -jnp.mean(target * logp + (1.0 - target) * log1mp)
+
+
+def _bce_probs_fwd(p, target):
+    return _bce_probs_f32(p, target), p
+
+
+def _bce_probs_bwd(target, p, g):
+    # torch binary_cross_entropy backward: (p - y) / clamp_min(p(1-p),
+    # 1e-12) / numel. The naive jnp.log grad is 1/p — unbounded down to
+    # ~1e44 when a saturated D sigmoid returns a subnormal, which
+    # overflows f32 and NaNs the whole step (seen on full-width attngan
+    # with random encoders); torch's clamp bounds it at 1e12.
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)
+    return (g * (p - target) / denom / p.size,)
+
+
+_bce_probs_f32.defvjp(_bce_probs_fwd, _bce_probs_bwd)
+
+
+def bce_probs(p: Array, target: float) -> Array:
+    """torch BCELoss on probabilities (log clamped to >= -100; backward
+    denominator clamped to 1e-12, both exactly as torch)."""
+    return _bce_probs_f32(p.astype(jnp.float32), float(target))
 
 
 def _d_loss_one_scale(d_module, d_params, d_stats, real, fake, cond,

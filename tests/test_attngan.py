@@ -154,6 +154,23 @@ def test_bce_probs_matches_definition():
     np.testing.assert_allclose(float(bce_probs(p, 1.0)), want, rtol=1e-5)
 
 
+def test_bce_probs_grad_matches_torch_incl_saturated():
+    # torch BCELoss backward clamps the (p - y)/(p(1-p)) denominator to
+    # 1e-12; the naive 1/p grad overflows f32 for subnormal p (a
+    # saturated D sigmoid) and NaNs the step. Parity incl. p=0 / p=1.
+    import torch
+
+    vals = np.asarray([0.9, 0.1, 1e-30, 0.0, 1.0, 1.0 - 1e-7], np.float32)
+    for target in (0.0, 1.0):
+        tp = torch.tensor(vals, requires_grad=True)
+        torch.nn.functional.binary_cross_entropy(
+            tp, torch.full((len(vals),), target)).backward()
+        got = jax.grad(lambda x: bce_probs(x, target))(jnp.asarray(vals))
+        np.testing.assert_allclose(np.asarray(got), tp.grad.numpy(),
+                                   rtol=1e-5)
+        assert np.isfinite(np.asarray(got)).all()
+
+
 def test_attngan_train_step():
     g = GNet(CFG)
     d_modules = {"d64": DNet64(CFG), "d128": DNetScale(CFG, scale=128)}
