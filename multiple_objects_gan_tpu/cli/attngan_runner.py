@@ -180,7 +180,7 @@ def run(args, cfg, output_dir: str, seed: int):
 
     loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
                     seed=seed, workers=int(cfg.WORKERS))
-    mesh = pmesh.make_mesh()
+    mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
     state = pmesh.replicate_state(mesh, state)
     enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))

@@ -120,7 +120,7 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
     loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
                     seed=seed, workers=int(cfg.WORKERS))
 
-    mesh = pmesh.make_mesh()
+    mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
     state = pmesh.replicate_state(mesh, state)
     s1_rep = jax.device_put(s1_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))

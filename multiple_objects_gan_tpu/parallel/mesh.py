@@ -35,6 +35,19 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def make_mesh_for_batch(batch_size: int) -> Mesh:
+    """Data mesh clamped to the largest device count dividing the batch.
+
+    A sharded batch axis must divide evenly over the mesh; reference
+    configs use non-power-of-two batches (coco_attn_train.yml: 14), so
+    rather than crash, shard over the largest compatible device prefix
+    (worst case 1 device = unsharded).
+    """
+    n_dev = len(jax.devices())
+    n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data"))

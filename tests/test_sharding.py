@@ -129,3 +129,15 @@ def test_attngan_step_over_8_device_mesh(mesh):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert jax.tree.leaves(state.g_params)[0].sharding.is_fully_replicated
+
+
+def test_make_mesh_for_batch_clamps_to_divisor():
+    # 8 CPU devices (conftest): batch 14 (coco_attn_train.yml) -> 7 > 2;
+    # batch 4 -> 4; batch 16 -> all 8; batch 5 -> 5; batch 1 -> unsharded
+    assert pmesh.make_mesh_for_batch(16).devices.size == 8
+    assert pmesh.make_mesh_for_batch(14).devices.size == 7
+    assert pmesh.make_mesh_for_batch(4).devices.size == 4
+    assert pmesh.make_mesh_for_batch(1).devices.size == 1
+    m = pmesh.make_mesh_for_batch(4)
+    x = pmesh.shard_batch(m, {"a": np.zeros((4, 3), np.float32)})
+    assert x["a"].shape == (4, 3)
