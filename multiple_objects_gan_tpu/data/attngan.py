@@ -259,7 +259,11 @@ class AttnGanDataset:
 def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
                             seed: int = 0, captions_per_image: int = 5,
                             vocab: int = 50) -> None:
-    """Tiny attngan-format dataset (random images + gibberish captions)."""
+    """Tiny attngan-format dataset (gibberish captions). Objects are
+    drawn as label-colored rectangles at their bbox locations on a dark
+    background (same scheme as :func:`data.coco.write_synthetic_coco`),
+    so short smoke trainings have real signal and the object pathway can
+    be validated with an in-box intensity check."""
     rng = np.random.RandomState(seed)
     words = [f"word{i}" for i in range(vocab)]
     os.makedirs(img_dir, exist_ok=True)
@@ -270,8 +274,7 @@ def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
         filenames, bboxes, labels = [], [], []
         for i in range(count):
             key = f"{split}_{i:05d}"
-            Image.fromarray((rng.rand(268, 268, 3) * 255).astype(np.uint8)
-                            ).save(os.path.join(img_dir, key + ".jpg"))
+            img = (rng.rand(268, 268, 3) * 40).astype(np.uint8)
             caps = "\n".join(
                 " ".join(rng.choice(words, rng.randint(4, 10)))
                 for _ in range(captions_per_image))
@@ -285,6 +288,14 @@ def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
                 w, h = rng.uniform(0.2, 0.4, 2)
                 bb[j] = [rng.uniform(0, 1 - w), rng.uniform(0, 1 - h), w, h]
                 lab[j] = rng.randint(0, 80)
+                x0, y0 = int(bb[j][0] * 268), int(bb[j][1] * 268)
+                x1 = int((bb[j][0] + bb[j][2]) * 268)
+                y1 = int((bb[j][1] + bb[j][3]) * 268)
+                lab_j = int(lab[j, 0])
+                color = np.array([120 + 135 * ((lab_j * k) % 9) // 8
+                                  for k in (1, 2, 3)], np.uint8)
+                img[y0:y1, x0:x1] = color
+            Image.fromarray(img).save(os.path.join(img_dir, key + ".jpg"))
             bboxes.append(bb)
             labels.append(lab)
         for name, obj in [("filenames.pickle", filenames),

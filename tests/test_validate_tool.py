@@ -69,3 +69,18 @@ def test_random_layouts_valid():
     # padded rows are all -1 bbox and zero labels
     assert (labels[~active] == 0).all()
     assert (bbox[~active] == -1.0).all()
+
+
+def test_attngan_validate_cfg_patch(tmp_path, monkeypatch):
+    # the patched yml must zero LAMBDA and clear NET_E but keep the rest
+    # of the reference schema loadable
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from validate_learning import _write_attngan_validate_cfg
+
+    path = _write_attngan_validate_cfg(str(tmp_path))
+    from multiple_objects_gan_tpu.config.config import cfg_from_file
+    cfg = cfg_from_file(path, "coco-attngan")
+    assert float(cfg.TRAIN.SMOOTH.LAMBDA) == 0.0
+    assert cfg.TRAIN.NET_E == ""
+    assert float(cfg.TRAIN.SMOOTH.GAMMA3) == 10.0

@@ -13,9 +13,12 @@ coco-stackgan-2 (256px, random frozen stage-1) see ROADMAP; anything
 above ~0.3 means the object pathway is learning placement, ~0 means it
 is not (or the measurement is reducing in bf16 — see CLAUDE.md).
 
-attngan has no learning-validation mode here: without pretrained DAMSM
-encoders its full-width loss diverges by design (ROADMAP perf notes) —
-its end-to-end wiring is covered by tests/test_attngan_cli.py instead.
+coco-attngan trains with a patched cfg (SMOOTH.LAMBDA=0, no NET_E):
+pretrained DAMSM encoders are unavailable offline and the w/s_loss x 50
+on random encoders diverges by design (ROADMAP perf notes), so the
+adversarial + KL losses alone must learn placement; generation restores
+the EMA G via the eval path (restore_g) and measures the final 256px
+branch.
 
 The dataset is pre-written at the round-2 reference sizes (mnist 5120,
 clevr 2560, coco 2048 images) — the CLI's own --synthetic fallback writes
@@ -23,7 +26,7 @@ a much smaller smoke split (512/256/2*batch) which is too little signal
 for this check (76 steps leaves separation ~0; 800 steps reaches ~0.5).
 
 Usage: python tools/validate_learning.py
-           [mnist|clevr|coco-stackgan-1|coco-stackgan-2]
+           [mnist|clevr|coco-stackgan-1|coco-stackgan-2|coco-attngan]
            [--epochs N] [--n N] [--bf16]
 """
 
@@ -161,11 +164,80 @@ def _generate_stage2(cfg_file, out_dir, seed):
     return imgs, bbox
 
 
+def _generate_attngan(cfg_file, data_dir, img_dir, out_dir, seed):
+    """Restore the EMA G through restore_g (the eval-path loader) and
+    generate final-branch 256px images on fresh random layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.cli.attngan_runner import (
+        build_all, init_encoders, restore_g)
+    from multiple_objects_gan_tpu.config.config import cfg_from_file
+    from multiple_objects_gan_tpu.data.attngan import AttnGanDataset
+
+    cfg = cfg_from_file(cfg_file, "coco-attngan")
+    cfg.DATA_DIR, cfg.IMG_DIR = data_dir, img_dir
+    words_num = int(cfg.TEXT.WORDS_NUM)
+    ds = AttnGanDataset(data_dir, img_dir, split="test",
+                        base_size=int(cfg.TREE.BASE_SIZE),
+                        branch_num=int(cfg.TREE.BRANCH_NUM),
+                        captions_per_image=int(cfg.TEXT.CAPTIONS_PER_IMAGE),
+                        words_num=words_num, seed=seed)
+    mcfg, g, d_modules, text_enc, image_enc = build_all(cfg, ds.n_words)
+    rng = jax.random.PRNGKey(seed)
+    # same rng path as attngan_runner.run -> the identical frozen random
+    # text-encoder weights the GAN trained against (no NET_E here)
+    enc_vars = init_encoders(cfg, text_enc, image_enc, words_num, rng)
+    cfg.TRAIN.NET_G = out_dir
+    g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
+                                  seq_len=words_num)
+
+    b = 16
+    bbox, labels, rs = _random_layouts(b, 3, 81, seed + 1)
+    lens = rs.randint(4, min(10, words_num) + 1, b)
+    caps = np.zeros((b, words_num), np.int64)
+    for i, ln in enumerate(lens):
+        caps[i, :ln] = rs.randint(1, ds.n_words, ln)
+    z = jax.random.normal(rng, (b, mcfg.z_dim))
+
+    @jax.jit
+    def gen(text_vars, g_params, g_stats, caps, lens, z, bbox, labels):
+        words, sent = text_enc.apply(text_vars, caps, lens, train=False)
+        out = g.apply({"params": g_params, "batch_stats": g_stats},
+                      z, sent, words, caps == 0, bbox, labels,
+                      train=False, ca_rng=None)
+        return out["imgs"][-1].astype(jnp.float32)
+
+    imgs = np.asarray(gen(enc_vars["text"], g_params, g_stats,
+                          jnp.asarray(caps), jnp.asarray(lens), z,
+                          jnp.asarray(bbox), jnp.asarray(labels)),
+                      np.float32)
+    return imgs, bbox
+
+
+def _write_attngan_validate_cfg(work: str) -> str:
+    """coco_attn_train.yml with LAMBDA=0 and no NET_E: without the
+    pretrained DAMSM encoders (unavailable offline) the w/s_loss x 50
+    diverges by design (ROADMAP perf notes), so the adversarial + KL
+    losses alone must learn object placement — which is exactly what
+    this tool checks."""
+    with open(os.path.join("cfg", "coco_attn_train.yml")) as f:
+        txt = f.read()
+    txt = txt.replace("LAMBDA: 50.0", "LAMBDA: 0.0")
+    txt = txt.replace("NET_E: 'DAMSMencoders/coco/text_encoder100.pth'",
+                      "NET_E: ''")
+    assert "LAMBDA: 0.0" in txt and "NET_E: ''" in txt
+    path = os.path.join(work, "coco_attn_validate.yml")
+    with open(path, "w") as f:
+        f.write(txt)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("variant", nargs="?", default="mnist",
                    choices=["mnist", "clevr", "coco-stackgan-1",
-                            "coco-stackgan-2"])
+                            "coco-stackgan-2", "coco-attngan"])
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -180,7 +252,8 @@ def main(argv=None):
     data_dir = os.path.join(work, "data")
     out_dir = os.path.join(work, "out")
     n = args.n or {"mnist": 5120, "clevr": 2560, "coco-stackgan-1": 2048,
-                   "coco-stackgan-2": 2048}[args.variant]
+                   "coco-stackgan-2": 2048,
+                   "coco-attngan": 2048}[args.variant]
     if args.variant == "mnist":
         from multiple_objects_gan_tpu.data.datasets import (
             write_synthetic_multimnist)
@@ -190,17 +263,26 @@ def main(argv=None):
         from multiple_objects_gan_tpu.data.datasets import (
             write_synthetic_clevr)
         write_synthetic_clevr(data_dir, n=n, split="train", seed=args.seed)
+    elif args.variant == "coco-attngan":
+        from multiple_objects_gan_tpu.data.attngan import (
+            write_synthetic_attngan)
+        write_synthetic_attngan(data_dir, os.path.join(work, "imgs"), n=n,
+                                seed=args.seed)
     else:
         from multiple_objects_gan_tpu.data.coco import write_synthetic_coco
         write_synthetic_coco(data_dir, os.path.join(work, "imgs"), n=n,
                              seed=args.seed)
     variant = {"mnist": "multi-mnist", "clevr": "clevr",
                "coco-stackgan-1": "coco-stackgan-1",
-               "coco-stackgan-2": "coco-stackgan-2"}[args.variant]
+               "coco-stackgan-2": "coco-stackgan-2",
+               "coco-attngan": "coco-attngan"}[args.variant]
     cfg_file = {"multi-mnist": "cfg/mnist_train.yml",
                 "clevr": "cfg/clevr_train.yml",
                 "coco-stackgan-1": "cfg/coco_s1_train.yml",
-                "coco-stackgan-2": "cfg/coco_s2_train.yml"}[variant]
+                "coco-stackgan-2": "cfg/coco_s2_train.yml",
+                "coco-attngan": None}[variant]
+    if variant == "coco-attngan":
+        cfg_file = _write_attngan_validate_cfg(work)
     cli_args = ["--variant", variant, "--cfg", cfg_file,
                 "--data_dir", data_dir, "--output_dir", out_dir,
                 "--synthetic", "--max_epochs", str(args.epochs),
@@ -209,13 +291,17 @@ def main(argv=None):
                 # tunneled dev TPUs)
                 "--snapshot_interval", str(10 * args.epochs),
                 "--manualSeed", str(args.seed)]
-    if variant.startswith("coco-stackgan"):
+    if variant.startswith("coco-"):
         cli_args += ["--img_dir", os.path.join(work, "imgs")]
     if args.bf16:
         cli_args.append("--bf16")
     cli_main(cli_args)
 
-    if variant == "coco-stackgan-2":
+    if variant == "coco-attngan":
+        imgs, bbox = _generate_attngan(cfg_file, data_dir,
+                                       os.path.join(work, "imgs"),
+                                       out_dir, args.seed)
+    elif variant == "coco-stackgan-2":
         imgs, bbox = _generate_stage2(cfg_file, out_dir, args.seed)
     else:
         cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
