@@ -28,7 +28,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="multiple-objects-gan (TPU)")
     p.add_argument("--variant", required=True,
                    choices=["multi-mnist", "clevr", "coco-stackgan-1",
-                            "coco-stackgan-2", "coco-attngan"])
+                            "coco-stackgan-2", "coco-attngan", "damsm"])
     p.add_argument("--cfg", dest="cfg_file", required=True)
     p.add_argument("--data_dir", default="")
     p.add_argument("--img_dir", default="",
@@ -98,7 +98,8 @@ def main(argv=None):
     cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
                    "coco-stackgan-1": "coco-stackgan",
                    "coco-stackgan-2": "coco-stackgan",
-                   "coco-attngan": "coco-attngan"}[args.variant]
+                   "coco-attngan": "coco-attngan",
+                   "damsm": "coco-attngan"}[args.variant]
     cfg = cfg_from_file(args.cfg_file, cfg_variant)
     if args.data_dir:
         cfg.DATA_DIR = args.data_dir
@@ -140,6 +141,8 @@ def main(argv=None):
         run_clevr(args, cfg, output_dir, seed)
     elif args.variant in ("coco-stackgan-1", "coco-stackgan-2"):
         run_stackgan(args, cfg, output_dir, seed)
+    elif args.variant == "damsm":
+        run_damsm_pretrain(args, cfg, output_dir, seed)
     else:
         run_attngan(args, cfg, output_dir, seed)
 
@@ -245,6 +248,18 @@ def run_attngan(args, cfg, output_dir, seed):
                                 seed=seed)
     from multiple_objects_gan_tpu.cli.attngan_runner import run as run_a
     run_a(args, cfg, output_dir, seed)
+
+
+def run_damsm_pretrain(args, cfg, output_dir, seed):
+    if args.synthetic and not os.path.isfile(
+            os.path.join(cfg.DATA_DIR, "train", "filenames.pickle")):
+        from multiple_objects_gan_tpu.data.attngan import (
+            write_synthetic_attngan)
+        write_synthetic_attngan(cfg.DATA_DIR, cfg.IMG_DIR,
+                                n=max(2 * int(cfg.TRAIN.BATCH_SIZE), 32),
+                                seed=seed)
+    from multiple_objects_gan_tpu.cli.damsm_runner import run_damsm
+    run_damsm(args, cfg, output_dir, seed)
 
 
 if __name__ == "__main__":

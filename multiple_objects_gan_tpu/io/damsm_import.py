@@ -47,7 +47,12 @@ def _set(tree: dict, path: list[str], value):
     node[path[-1]] = value
 
 
-def import_image_encoder(path: str, variables: dict) -> dict:
+def import_image_encoder(path: str, variables: dict,
+                         skip_prefixes: tuple = ()) -> dict:
+    """skip_prefixes: drop state-dict keys by prefix — pass
+    ("AuxLogits.", "fc.") to load a full torchvision inception_v3
+    state_dict (ImageNet backbone warm-start for DAMSM pretraining);
+    the DAMSM-format .pth has neither module."""
     import copy
 
     sd = _load_sd(path)
@@ -55,6 +60,8 @@ def import_image_encoder(path: str, variables: dict) -> dict:
     stats = copy.deepcopy(dict(variables.get("batch_stats", {})))
 
     for key, val in sd.items():
+        if any(key.startswith(p) for p in skip_prefixes):
+            continue
         parts = key.split(".")
         val = np.asarray(val, np.float32)
         if key == "emb_cnn_code.weight":

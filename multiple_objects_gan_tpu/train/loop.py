@@ -40,13 +40,16 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
                profile_dir: Optional[str] = None,
                epoch_end_fn: Optional[Callable] = None,
                step_hook: Optional[Callable] = None,
-               step_hook_every: int = 0):
+               step_hook_every: int = 0,
+               lr_fn: Optional[Callable] = None):
     """Shared epoch/step skeleton for every trainer variant.
 
     ``step_fn(state, sharded_batch, rng, lr_g, lr_d) -> (state, metrics)``
     must already be jitted. ``epoch_end_fn(state, last_batch, epoch)`` runs
     after each epoch (image grids); ``step_hook(state, batch, count)`` runs
     every ``step_hook_every`` global steps (attention montages).
+    ``lr_fn(epoch) -> (lr_g, lr_d)`` overrides both LRs per epoch (DAMSM
+    pretraining's x0.98 decay); mutually exclusive with lr_decay_epochs.
     Returns (state, last_metrics).
     """
     if len(loader) == 0:
@@ -62,6 +65,8 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
         if lr_decay_epochs and epoch % lr_decay_epochs == 0 and epoch > 0:
             lr_g *= 0.5
             lr_d *= 0.5
+        if lr_fn is not None:
+            lr_g, lr_d = lr_fn(epoch)
         last_batch = None
         for i, batch in enumerate(loader.epoch(epoch)):
             # profiling hooks (reference has none — SURVEY.md §5): trace a
@@ -72,7 +77,7 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
             state, metrics = step_fn(state, sharded, rng,
                                      np.float32(lr_g), np.float32(lr_d))
             if profile_dir and epoch == start_epoch and i == 5:
-                jax.block_until_ready(state.g_params)
+                jax.block_until_ready(state)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}", flush=True)
             if i % log_every == 0:
@@ -115,7 +120,7 @@ def train(cfg_yaml, model_cfg, g_module, d_module, loader,
 
     rng = jax.random.PRNGKey(seed)
     if mesh is None:
-        mesh = pmesh.make_mesh()
+        mesh = pmesh.make_mesh_for_batch(loader.bs)
     if state is None:
         state = create_state(model_cfg, g_module, d_module, rng,
                              batch_size=2)

@@ -23,12 +23,14 @@ def test_defaults_exist_for_all_variants():
 
 def test_all_shipped_yamls_load():
     ymls = sorted(glob.glob(os.path.join(REPO, "cfg", "*.yml")))
-    assert len(ymls) == 10
+    assert len(ymls) == 11
     for y in ymls:
         name = os.path.basename(y)
         variant = ("multi-mnist" if name.startswith("mnist") else
                    "clevr" if name.startswith("clevr") else
-                   "coco-attngan" if "attn" in name else "coco-stackgan")
+                   # damsm pretraining shares the attngan schema
+                   "coco-attngan" if ("attn" in name or "damsm" in name)
+                   else "coco-stackgan")
         cfg = cfg_from_file(y, variant)
         assert cfg.DATASET_NAME
 

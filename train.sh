@@ -20,6 +20,10 @@ case "$DATASET" in
     python -m multiple_objects_gan_tpu.cli.main --variant coco-stackgan-2 $GPU --cfg cfg/coco_s2_train.yml "$@" ;;
   coco-attngan)
     python -m multiple_objects_gan_tpu.cli.main --variant coco-attngan $GPU --cfg cfg/coco_attn_train.yml "$@" ;;
+  damsm)
+    # beyond-reference: pretrain the DAMSM encoders the attngan variant
+    # consumes (the reference has users download them, README.md:33-35)
+    python -m multiple_objects_gan_tpu.cli.main --variant damsm $GPU --cfg cfg/coco_damsm.yml "$@" ;;
   *)
-    echo "usage: sh train.sh {mnist|clevr|coco-stackgan-1|coco-stackgan-2|coco-attngan} [extra args]"; exit 1 ;;
+    echo "usage: sh train.sh {mnist|clevr|coco-stackgan-1|coco-stackgan-2|coco-attngan|damsm} [extra args]"; exit 1 ;;
 esac
