@@ -10,16 +10,21 @@ d_loss) to the host — a device->host transfer cannot complete before the
 step that produced it. We also report MFU against the v5e peak and assert
 the measured rate is physically possible given XLA's own FLOP count for
 the compiled step.
+
+Wedge guard: the tunneled backend intermittently WEDGES (the process
+blocks forever with frozen CPU time, sometimes before backend init
+completes — see CLAUDE.md); a retry usually succeeds. Run as a script,
+this file therefore execs the actual measurement in a timed subprocess
+and retries on hang, so one wedge cannot eat the whole benchmark run.
+The parent deliberately imports no jax.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 3000.0
 # v5e peak: 197 TFLOP/s bf16 (f32 matmuls route through bf16 passes).
@@ -27,6 +32,8 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
     import jax.numpy as _jnp
 
     from multiple_objects_gan_tpu.nn import blocks
@@ -99,5 +106,43 @@ def main():
     }))
 
 
+def run_guarded(attempts: int = 3, timeout_s: float = 0.0) -> int:
+    """Run main() in a timed subprocess; retry on wedge (hang/kill).
+
+    Returns the exit code to propagate. Output passes through unchanged
+    (the driver reads the JSON line from stdout). A genuine bench
+    failure (clean nonzero exit with output) is NOT retried — only
+    hangs and signal deaths, the tunnel-wedge signatures, are.
+    """
+    import subprocess
+
+    timeout_s = timeout_s or float(os.environ.get("MOG_BENCH_TIMEOUT",
+                                                  "900"))
+    env = dict(os.environ, MOG_BENCH_CHILD="1")
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt}/{attempts} wedged after "
+                  f"{timeout_s:.0f}s (tunneled-backend hang) — retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode == 0:
+            return 0
+        if proc.returncode < 0:  # killed by signal (SIGABRT/SIGSEGV/...)
+            print(f"bench attempt {attempt}/{attempts} died with signal "
+                  f"{-proc.returncode} — retrying", file=sys.stderr,
+                  flush=True)
+            continue
+        return proc.returncode
+    print(f"bench failed: all {attempts} attempts wedged", file=sys.stderr,
+          flush=True)
+    return 124
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MOG_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(run_guarded())
