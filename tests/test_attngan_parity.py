@@ -431,3 +431,93 @@ def test_attngan_d128_forward_parity():
                   jnp.asarray(img.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# D_NET256 (s16 + two downBlocks + two Block3x3_leakRelu) value parity
+# ---------------------------------------------------------------------------
+
+class AttnD256Torch(tnn.Module):
+    """Replica of code/coco/attngan/model.py:738-760 (+ shared blocks
+    :575-613)."""
+
+    def __init__(self):
+        super().__init__()
+        ndf = NDF
+        self.img_code_s16 = tnn.Sequential(
+            tnn.Conv2d(3, ndf, 4, 2, 1, bias=False), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 4), tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 8), tnn.LeakyReLU(0.2, True))
+        self.img_code_s32 = tnn.Sequential(
+            tnn.Conv2d(ndf * 8, ndf * 16, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 16), tnn.LeakyReLU(0.2, True))
+        self.img_code_s64 = tnn.Sequential(
+            tnn.Conv2d(ndf * 16, ndf * 32, 4, 2, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 32), tnn.LeakyReLU(0.2, True))
+        self.img_code_s64_1 = tnn.Sequential(
+            conv3x3_t(ndf * 32, ndf * 16), tnn.BatchNorm2d(ndf * 16),
+            tnn.LeakyReLU(0.2, True))
+        self.img_code_s64_2 = tnn.Sequential(
+            conv3x3_t(ndf * 16, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True))
+
+    def forward(self, x):
+        h = self.img_code_s32(self.img_code_s16(x))
+        return self.img_code_s64_2(self.img_code_s64_1(self.img_code_s64(h)))
+
+
+def test_attngan_d256_forward_parity():
+    from multiple_objects_gan_tpu.models.attngan import DNetScale
+
+    td = _randomize(AttnD256Torch(), seed=73)
+    td.eval()
+    rng = np.random.RandomState(11)
+    img = rng.randn(2, 3, 256, 256).astype(np.float32).clip(-1, 1)
+    with torch.no_grad():
+        want = td(torch.from_numpy(img)).numpy()
+
+    sd = td.state_dict()
+    s16_p, s16_s = {}, {}
+    for j, (ci, bi) in enumerate([(0, None), (2, 3), (5, 6), (8, 9)]):
+        s16_p[f"Conv_{j}"] = {"kernel": _conv_k(sd, f"img_code_s16.{ci}.weight")}
+        if bi is not None:
+            p, s = _bn_split(sd, f"img_code_s16.{bi}")
+            s16_p[f"TorchBatchNorm_{j-1}"] = p
+            s16_s[f"TorchBatchNorm_{j-1}"] = s
+    params = {"img_code_s16": s16_p}
+    stats = {"img_code_s16": s16_s}
+    for name in ("img_code_s32", "img_code_s64"):  # downBlocks
+        p, s = _bn_split(sd, f"{name}.1")
+        params[name] = {"Conv_0": {"kernel": _conv_k(sd, f"{name}.0.weight")},
+                        "TorchBatchNorm_0": p}
+        stats[name] = {"TorchBatchNorm_0": s}
+    for name in ("img_code_s64_1", "img_code_s64_2"):  # Block3x3_leakRelu
+        p, s = _bn_split(sd, f"{name}.1")
+        params[name] = {
+            "Conv3x3_0": {"Conv_0": {"kernel": _conv_k(sd, f"{name}.0.weight")}},
+            "TorchBatchNorm_0": p}
+        stats[name] = {"TorchBatchNorm_0": s}
+
+    d = DNetScale(DCFG, scale=256, b_jcu=False)
+    variables = d.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 256, 256, 3)), train=False)
+    import copy
+    full_p = copy.deepcopy(dict(jax.tree.map(np.asarray, variables["params"])))
+    full_s = copy.deepcopy(dict(jax.tree.map(np.asarray,
+                                             variables["batch_stats"])))
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = v
+    overlay(full_p, params)
+    overlay(full_s, stats)
+    got = d.apply({"params": full_p, "batch_stats": full_s},
+                  jnp.asarray(img.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=3e-4)

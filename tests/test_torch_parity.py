@@ -791,3 +791,90 @@ def test_stage2_d_forward_parity_with_torch_replica():
     got_u = d.apply(variables, h, train=False, method="uncond_logits")
     np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_u), want_u.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# stackgan STAGE1_D parity (3+81 local pathway, cond head fed with mu)
+# ---------------------------------------------------------------------------
+
+class StackganD_Torch(tnn.Module):
+    """Replica of code/coco/stackgan/model.py:238-307 + D_GET_LOGITS
+    :74-104 (nef = CONDITION_DIM; get_uncond_logits is None in stage 1)."""
+
+    def __init__(self):
+        super().__init__()
+        ndf, nef = NDF, S1CFG.condition_dim
+        self.local = tnn.Sequential(
+            tnn.Conv2d(3 + 81, ndf * 2, 4, 1, 1, bias=False),
+            tnn.BatchNorm2d(ndf * 2), tnn.LeakyReLU(0.2, True))
+        self.conv1 = tnn.Conv2d(3, ndf, 4, 2, 1, bias=False)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(ndf * 2)
+        self.conv3 = tnn.Conv2d(ndf * 4, ndf * 4, 4, 2, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(ndf * 4)
+        self.conv4 = tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1, bias=False)
+        self.bn4 = tnn.BatchNorm2d(ndf * 8)
+        self.head = tnn.Sequential(
+            conv3x3_t(ndf * 8 + nef, ndf * 8), tnn.BatchNorm2d(ndf * 8),
+            tnn.LeakyReLU(0.2, True),
+            tnn.Conv2d(ndf * 8, 1, kernel_size=4, stride=4))
+        self.act = tnn.LeakyReLU(0.2, True)
+
+    def forward(self, image, label, t_fwd, t_inv, cond):
+        b = image.shape[0]
+        locals_sum = torch.zeros(b, NDF * 2, 16, 16)
+        for idx in range(3):
+            lab = label[:, idx].view(b, 81, 1, 1).repeat(1, 1, 16, 16)
+            patch = stn_t(image, t_fwd[:, idx], (b, image.shape[1], 16, 16))
+            h = self.local(torch.cat([patch, lab], 1))
+            locals_sum = locals_sum + stn_t(h, t_inv[:, idx],
+                                            (b, h.shape[1], 16, 16))
+        h = self.act(self.conv1(image))
+        h = self.act(self.bn2(self.conv2(h)))
+        h = torch.cat([h, locals_sum], 1)
+        h = self.act(self.bn3(self.conv3(h)))
+        h = self.act(self.bn4(self.conv4(h)))
+        c = cond.view(b, S1CFG.condition_dim, 1, 1).repeat(1, 1, 4, 4)
+        return self.head(torch.cat([h, c], 1)).view(-1)
+
+
+def test_stackgan_d_forward_parity_with_torch_replica():
+    from multiple_objects_gan_tpu.io.torch_import import import_stage1_d
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D
+    from multiple_objects_gan_tpu.ops import transformation_matrix
+
+    td = _randomize(StackganD_Torch(), seed=51)
+    td.eval()
+    rng = np.random.RandomState(8)
+    b = 2
+    img = rng.randn(b, 3, 64, 64).astype(np.float32).clip(-1, 1)
+    bbox = np.stack([rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.05, 0.5, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3)),
+                     rng.uniform(0.2, 0.4, (b, 3))], -1).astype(np.float32)
+    onehot = np.zeros((b, 3, 81), np.float32)
+    for i in range(b):
+        for j in range(3):
+            onehot[i, j, rng.randint(81)] = 1.0
+    # the cond head is fed mu from the CA-net (trainer.py:211)
+    cond = rng.randn(b, S1CFG.condition_dim).astype(np.float32)
+    t_fwd = np.asarray(transformation_matrix(jnp.asarray(bbox)))
+    t_inv = np.asarray(transformation_matrix_inverse(jnp.asarray(bbox)))
+    with torch.no_grad():
+        want = td(torch.from_numpy(img), torch.from_numpy(onehot),
+                  torch.from_numpy(t_fwd), torch.from_numpy(t_inv),
+                  torch.from_numpy(cond)).numpy()
+
+    dcfg = dataclasses.replace(S1CFG, df_dim=NDF)
+    d = Stage1D(dcfg)
+    sd = {k.replace("head.", "get_cond_logits.outlogits."): v.numpy()
+          for k, v in td.state_dict().items()}
+    params, stats = import_stage1_d(sd, dcfg)
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    variables = {"params": params, "batch_stats": stats}
+    feat = d.apply(variables, img_nhwc, jnp.asarray(onehot),
+                   jnp.asarray(bbox), train=False)
+    got = d.apply(variables, feat, jnp.asarray(cond), train=False,
+                  method="cond_logits")
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
