@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.parallel import mesh as pmesh
+from multiple_objects_gan_tpu.parallel.multihost import shard_loader_kwargs
 from multiple_objects_gan_tpu.utils.attention_viz import save_attention_montage
 from multiple_objects_gan_tpu.utils.images import as_model_image
 from multiple_objects_gan_tpu.utils.images import save_grid, to_uint8
@@ -178,8 +179,9 @@ def run(args, cfg, output_dir: str, seed: int):
             start_epoch += 1
             print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                    seed=seed, workers=int(cfg.WORKERS))
+    loader = Loader(ds, shuffle=True, seed=seed,
+                    workers=int(cfg.WORKERS),
+                    **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
     mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
     state = pmesh.replicate_state(mesh, state)
     enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))

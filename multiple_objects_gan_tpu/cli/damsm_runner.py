@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.parallel import mesh as pmesh
+from multiple_objects_gan_tpu.parallel.multihost import shard_loader_kwargs
 from multiple_objects_gan_tpu.utils.logging import MetricWriter
 
 
@@ -116,8 +117,9 @@ def run_damsm(args, cfg, output_dir: str, seed: int):
             start_epoch += 1
             print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                    seed=seed, workers=int(cfg.WORKERS))
+    loader = Loader(ds, shuffle=True, seed=seed,
+                    workers=int(cfg.WORKERS),
+                    **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
     mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
     state = pmesh.replicate_state(mesh, state)
     writer = MetricWriter(os.path.join(output_dir, "logs"))

@@ -22,6 +22,7 @@ import shutil
 import sys
 
 import numpy as np
+from multiple_objects_gan_tpu.parallel.multihost import shard_loader_kwargs
 
 
 def parse_args(argv=None):
@@ -75,6 +76,13 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host slices: join the JAX distributed runtime BEFORE any
+    # backend use (env-gated: MOG_MULTIHOST=1 or MOG_COORDINATOR/...).
+    # After this, the mesh spans all hosts' devices, each process loads
+    # its data shard, and only process 0 logs (docs/SCALING.md).
+    from multiple_objects_gan_tpu.parallel.multihost import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()
     # persistent XLA compilation cache: repeated CLI runs (and crashed-run
     # retries) skip recompiles — important on tunneled TPUs where a big
     # compile takes minutes. TPU-only: CPU cache entries embed host machine
@@ -169,8 +177,9 @@ def run_mnist(args, cfg, output_dir, seed):
             write_synthetic_multimnist(cfg.DATA_DIR, n=512, split="train",
                                        seed=seed)
         ds = MultiMnistDataset(cfg.DATA_DIR, split="train")
-        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed, workers=int(cfg.WORKERS))
+        loader = Loader(ds, shuffle=True, seed=seed,
+                        workers=int(cfg.WORKERS),
+                        **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,
@@ -196,8 +205,9 @@ def run_clevr(args, cfg, output_dir, seed):
                                   seed=seed)
         ds = ClevrDataset(cfg.DATA_DIR, split="train",
                           imsize=int(cfg.IMSIZE), seed=seed)
-        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed, workers=int(cfg.WORKERS))
+        loader = Loader(ds, shuffle=True, seed=seed,
+                        workers=int(cfg.WORKERS),
+                        **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,
@@ -227,8 +237,9 @@ def run_stackgan(args, cfg, output_dir, seed):
                                  seed=seed)
         ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                                  stage=1, imsize=int(cfg.IMSIZE))
-        loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                        seed=seed, workers=int(cfg.WORKERS))
+        loader = Loader(ds, shuffle=True, seed=seed,
+                        workers=int(cfg.WORKERS),
+                        **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
         train(cfg, mcfg, g, d, loader, output_dir, seed=seed,
               max_epochs=args.max_epochs,
               profile_dir=args.profile or None,

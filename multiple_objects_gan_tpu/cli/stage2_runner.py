@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multiple_objects_gan_tpu.parallel import mesh as pmesh
+from multiple_objects_gan_tpu.parallel.multihost import shard_loader_kwargs
 from multiple_objects_gan_tpu.utils.images import save_grid
 from multiple_objects_gan_tpu.utils.logging import MetricWriter
 
@@ -117,8 +118,9 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
                              seed=seed)
     ds = CocoStackganDataset(cfg.DATA_DIR, cfg.IMG_DIR, split="train",
                              stage=2, imsize=int(cfg.IMSIZE), seed=seed)
-    loader = Loader(ds, int(cfg.TRAIN.BATCH_SIZE), shuffle=True,
-                    seed=seed, workers=int(cfg.WORKERS))
+    loader = Loader(ds, shuffle=True, seed=seed,
+                    workers=int(cfg.WORKERS),
+                    **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
 
     mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
     state = pmesh.replicate_state(mesh, state)

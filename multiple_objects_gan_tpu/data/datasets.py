@@ -167,21 +167,33 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, prefetch: int = 2,
-                 workers: Optional[int] = None):
+                 workers: Optional[int] = None,
+                 shard: tuple = (0, 1)):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
         self.workers = workers
+        # (rank, world): multi-host data sharding — every process shuffles
+        # the SAME global order (seeded) and takes a disjoint strided
+        # slice, so the union of all hosts' epochs covers the dataset once
+        self.shard = shard
 
     def __len__(self) -> int:
-        return len(self.ds) // self.bs
+        # min across ranks (len(ds)//world) so every process runs the SAME
+        # number of steps per epoch — unequal counts would deadlock the
+        # collective train step on a multi-host mesh
+        _, world = self.shard
+        return len(self.ds) // world // self.bs
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 

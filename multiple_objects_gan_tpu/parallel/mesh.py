@@ -42,8 +42,20 @@ def make_mesh_for_batch(batch_size: int) -> Mesh:
     configs use non-power-of-two batches (coco_attn_train.yml: 14), so
     rather than crash, shard over the largest compatible device prefix
     (worst case 1 device = unsharded).
+
+    ``batch_size`` is the LOCAL (per-process) batch. Multi-process runs
+    cannot clamp to a device prefix (every process must contribute to a
+    global array), so there the mesh spans all devices and the global
+    batch must divide evenly.
     """
     n_dev = len(jax.devices())
+    if jax.process_count() > 1:
+        global_b = batch_size * jax.process_count()
+        if global_b % n_dev:
+            raise ValueError(
+                f"global batch {global_b} must divide over {n_dev} devices "
+                "on a multi-process mesh (no prefix-clamping across hosts)")
+        return make_mesh()
     n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
     return make_mesh(n)
 

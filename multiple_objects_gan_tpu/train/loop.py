@@ -58,6 +58,9 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
             f"drop-last batch size is {loader.bs} — no training would run")
     count = 0
     metrics: dict = {}
+    # multi-host: one process owns logging/grids; orbax saves stay
+    # collective (every process must participate)
+    main_proc = jax.process_index() == 0
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         # LR halving (code/multi-mnist/trainer.py:105-111); attngan passes
@@ -80,20 +83,21 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
                 jax.block_until_ready(state)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}", flush=True)
-            if i % log_every == 0:
+            if i % log_every == 0 and main_proc:
                 host = {k: float(v) for k, v in metrics.items()}
                 writer.scalars(count, host)
             if (step_hook is not None and step_hook_every
-                    and count % step_hook_every == 0):
+                    and count % step_hook_every == 0 and main_proc):
                 step_hook(state, batch, count)
             count += 1
             last_batch = batch
         host = {k: float(v) for k, v in metrics.items()}
         dt = time.time() - t0
-        print(f"[{epoch}/{n_epochs}] "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
-              + f" time={dt:.1f}s", flush=True)
-        if epoch_end_fn is not None and last_batch is not None:
+        if main_proc:
+            print(f"[{epoch}/{n_epochs}] "
+                  + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
+                  + f" time={dt:.1f}s", flush=True)
+        if epoch_end_fn is not None and last_batch is not None and main_proc:
             epoch_end_fn(state, last_batch, epoch)
         if snapshot_every and ((epoch + 1) % snapshot_every == 0
                                or epoch == n_epochs - 1):

@@ -1,0 +1,93 @@
+"""Multi-host (multi-process) SPMD validation — no TPU pod required.
+
+Spawns two real OS processes that join a JAX distributed runtime over
+localhost (gloo), form a 4-device global CPU mesh (2 local devices each),
+and run the actual mnist train step with batches assembled from
+process-local shards via jax.make_array_from_process_local_data
+(parallel/mesh.py:shard_batch). Asserts:
+
+  * both processes complete and report identical metrics (replicated
+    state ⇒ replicated losses — the cross-process psum worked);
+  * the metrics match a single-process run on the same global batch
+    (multi-host ≡ single-host semantics, like tests/test_sharding.py
+    proves for single-process sharding);
+  * the Loader's shard=(rank, world) slices are disjoint, equal-length,
+    and cover the dataset's shuffled order.
+"""
+
+import dataclasses
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    port = _free_port()
+    outs = [str(tmp_path / f"metrics_{i}.json") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("MOG_", "XLA_FLAGS", "JAX_PLATFORMS"))}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    results = [p.communicate(timeout=540) for p in procs]
+    for p, (out, err) in zip(procs, results):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    m0, m1 = (json.load(open(o)) for o in outs)
+
+    rows0, rows1 = m0.pop("_loader_rows"), m1.pop("_loader_rows")
+    assert m0.pop("_is_main") is True and m1.pop("_is_main") is False
+
+    # replicated metrics agree across processes
+    assert set(m0) == set(m1)
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], atol=1e-6, err_msg=k)
+    assert all(np.isfinite(v) for v in m0.values())
+
+    # Loader shards: disjoint, equal length, drawn from the same order
+    flat0 = [i for b in rows0 for i in b]
+    flat1 = [i for b in rows1 for i in b]
+    assert len(flat0) == len(flat1) == 4          # 10 rows // 2 procs // bs 2
+    assert not set(flat0) & set(flat1)
+
+    # single-process oracle on the identical global batch
+    import jax
+
+    from multiple_objects_gan_tpu.data.synthetic import synthetic_batch
+    from multiple_objects_gan_tpu.models import common
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.parallel import mesh as pmesh
+    from multiple_objects_gan_tpu.train.step import (
+        create_state, make_train_step)
+
+    cfg = dataclasses.replace(common.MNIST, gf_dim=8, df_dim=8)
+    g, d = Stage1G(cfg), Stage1D(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, g, d, rng, batch_size=2)
+    mesh = pmesh.make_mesh(4)  # same 4-way layout as the 2x2 process mesh
+    state = pmesh.replicate_state(mesh, state)
+    step = pmesh.jit_train_step(make_train_step(cfg, g, d))
+    batch = synthetic_batch(cfg, 8, seed=5)
+    lr = np.float32(2e-4)
+    for _ in range(2):
+        state, metrics = step(state, pmesh.shard_batch(mesh, batch), rng,
+                              lr, lr)
+    # gloo all-reduce ordering differs from the in-process one at float
+    # rounding level; after an optimizer step that grows to ~1e-4
+    for k, v in metrics.items():
+        np.testing.assert_allclose(m0[k], float(v), atol=1e-3, err_msg=k)
