@@ -127,6 +127,42 @@ def restore_g(cfg, mcfg, g, d_modules, rng, seq_len: int):
     return state.g_params, state.g_stats
 
 
+def maybe_warm_start_attngan(state, net_g: str, mcfg, b_net_d: bool = True):
+    """TRAIN.NET_G .pth warm-start (reference build_models,
+    code/coco/attngan/trainer.py:110-126): bare G state_dict (EMA copy
+    seeded from it too), start epoch parsed from the filename, and — when
+    TRAIN.B_NET_D — netD%d.pth files next to it. Returns (state, epoch)."""
+    if not (net_g.endswith(".pth") and os.path.exists(net_g)):
+        return state, 0
+    from multiple_objects_gan_tpu.io.torch_import import (
+        import_attngan_d, import_attngan_g, load_torch_checkpoint)
+    p, s = import_attngan_g(load_torch_checkpoint(net_g),
+                            branch_num=mcfg.branch_num, r_num=mcfg.r_num)
+    state = state.replace(g_params={**state.g_params, **p},
+                          g_stats={**state.g_stats, **s},
+                          g_ema={**state.g_ema, **p})
+    print(f"Load G from: {net_g}", flush=True)
+    start_epoch = 0
+    tail = net_g[net_g.rfind("_") + 1:net_g.rfind(".")]
+    if tail.isdigit():  # trainer.py:115-118
+        start_epoch = int(tail) + 1
+    if b_net_d:
+        for i, name in enumerate(sorted(state.d_params,
+                                        key=lambda n: int(n[1:]))):
+            d_path = os.path.join(os.path.dirname(net_g), f"netD{i}.pth")
+            if not os.path.exists(d_path):
+                continue
+            dp, dst = import_attngan_d(load_torch_checkpoint(d_path),
+                                       scale=int(name[1:]))
+            state = state.replace(
+                d_params={**state.d_params,
+                          name: {**state.d_params[name], **dp}},
+                d_stats={**state.d_stats,
+                         name: {**state.d_stats[name], **dst}})
+            print(f"Load D from: {d_path}", flush=True)
+    return state, start_epoch
+
+
 def run(args, cfg, output_dir: str, seed: int):
     from multiple_objects_gan_tpu.data.attngan import AttnGanDataset
     from multiple_objects_gan_tpu.data.datasets import Loader
@@ -178,6 +214,11 @@ def run(args, cfg, output_dir: str, seed: int):
             state, start_epoch = prev.restore(state)
             start_epoch += 1
             print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    if start_epoch == 0:
+        state, start_epoch = maybe_warm_start_attngan(
+            state, str(cfg.TRAIN.get("NET_G", "")), mcfg,
+            b_net_d=bool(cfg.TRAIN.get("B_NET_D", True)))
 
     loader = Loader(ds, shuffle=True, seed=seed,
                     workers=int(cfg.WORKERS),

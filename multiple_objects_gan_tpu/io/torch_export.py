@@ -239,6 +239,51 @@ def export_attngan_g(params: dict, stats: dict, branch_num: int = 3,
     return sd
 
 
+def export_attngan_d(params: dict, stats: dict, scale: int) -> dict:
+    """Inverse of import_attngan_d (D_NET64/128/256 -> bare netD%d.pth
+    state_dict, code/coco/attngan/trainer.py:119-126,185-191)."""
+    sd: dict = {}
+    h = params["cond_head"]
+    sd["COND_DNET.jointConv.0.weight"] = _conv(
+        h["jointConv"]["Conv3x3_0"]["Conv_0"]["kernel"])
+    _bn(sd, "COND_DNET.jointConv.1", h["jointConv"]["TorchBatchNorm_0"],
+        stats["cond_head"]["jointConv"]["TorchBatchNorm_0"])
+    sd["COND_DNET.outlogits.0.weight"] = _conv(h["outlogits"]["kernel"])
+    sd["COND_DNET.outlogits.0.bias"] = _f32(h["outlogits"]["bias"])
+    if "uncond_head" in params:
+        u = params["uncond_head"]["outlogits"]
+        sd["UNCOND_DNET.outlogits.0.weight"] = _conv(u["kernel"])
+        sd["UNCOND_DNET.outlogits.0.bias"] = _f32(u["bias"])
+    if scale == 64:
+        sd["local.0.weight"] = _conv(params["local_conv"]["kernel"])
+        _bn(sd, "local.1", params["local_bn"], stats["local_bn"])
+        for i in range(1, 5):
+            sd[f"conv{i}.weight"] = _conv(params[f"conv{i}"]["kernel"])
+        for i in (2, 3, 4):
+            _bn(sd, f"bn{i}", params[f"bn{i}"], stats[f"bn{i}"])
+        return sd
+    for j, (ci, bi) in enumerate([(0, None), (2, 3), (5, 6), (8, 9)]):
+        sd[f"img_code_s16.{ci}.weight"] = _conv(
+            params["img_code_s16"][f"Conv_{j}"]["kernel"])
+        if bi is not None:
+            _bn(sd, f"img_code_s16.{bi}",
+                params["img_code_s16"][f"TorchBatchNorm_{j - 1}"],
+                stats["img_code_s16"][f"TorchBatchNorm_{j - 1}"])
+    down = ["img_code_s32"] + (["img_code_s64"] if scale == 256 else [])
+    for name in down:
+        sd[f"{name}.0.weight"] = _conv(params[name]["Conv_0"]["kernel"])
+        _bn(sd, f"{name}.1", params[name]["TorchBatchNorm_0"],
+            stats[name]["TorchBatchNorm_0"])
+    blocks = (["img_code_s32_1"] if scale == 128
+              else ["img_code_s64_1", "img_code_s64_2"])
+    for name in blocks:
+        sd[f"{name}.0.weight"] = _conv(
+            params[name]["Conv3x3_0"]["Conv_0"]["kernel"])
+        _bn(sd, f"{name}.1", params[name]["TorchBatchNorm_0"],
+            stats[name]["TorchBatchNorm_0"])
+    return sd
+
+
 def save_reference_checkpoint(path: str, epoch: int,
                               net_g: dict | None = None,
                               net_d: dict | None = None) -> None:

@@ -261,6 +261,77 @@ def import_attngan_g(checkpoint: dict, branch_num: int = 3,
     return params, stats
 
 
+def _attngan_d_heads(sd) -> tuple[dict, dict]:
+    """COND_DNET / UNCOND_DNET (D_GET_LOGITS with Sigmoid,
+    code/coco/attngan/model.py:616-642) -> cond_head/uncond_head trees."""
+    jbn_p, jbn_s = _bn(sd, "COND_DNET.jointConv.1")
+    params = {"cond_head": {
+        "jointConv": {
+            "Conv3x3_0": {"Conv_0": {
+                "kernel": _conv(sd, "COND_DNET.jointConv.0.weight")}},
+            "TorchBatchNorm_0": jbn_p},
+        "outlogits": {
+            "kernel": _conv(sd, "COND_DNET.outlogits.0.weight"),
+            "bias": np.asarray(sd["COND_DNET.outlogits.0.bias"],
+                               np.float32)}}}
+    stats = {"cond_head": {"jointConv": {"TorchBatchNorm_0": jbn_s}}}
+    if "UNCOND_DNET.outlogits.0.weight" in sd:
+        params["uncond_head"] = {"outlogits": {
+            "kernel": _conv(sd, "UNCOND_DNET.outlogits.0.weight"),
+            "bias": np.asarray(sd["UNCOND_DNET.outlogits.0.bias"],
+                               np.float32)}}
+    return params, stats
+
+
+def import_attngan_d(checkpoint: dict, scale: int) -> tuple[dict, dict]:
+    """Map a reference D_NET64/128/256 state_dict (netD%d.pth, saved bare —
+    code/coco/attngan/trainer.py:119-126,185-191) -> (params, batch_stats).
+
+    scale 64: object-pathway D (model.py:646-711); 128/256: plain
+    multi-scale stacks (model.py:715-760).
+    """
+    sd = checkpoint["netD"] if "netD" in checkpoint else checkpoint
+    params, stats = _attngan_d_heads(sd)
+    if scale == 64:
+        lbn_p, lbn_s = _bn(sd, "local.1")
+        params["local_conv"] = {"kernel": _conv(sd, "local.0.weight")}
+        params["local_bn"] = lbn_p
+        stats["local_bn"] = lbn_s
+        for i in range(1, 5):
+            params[f"conv{i}"] = {"kernel": _conv(sd, f"conv{i}.weight")}
+        for i in (2, 3, 4):
+            p, s = _bn(sd, f"bn{i}")
+            params[f"bn{i}"] = p
+            stats[f"bn{i}"] = s
+        return params, stats
+
+    s16_p: dict = {}
+    s16_s: dict = {}
+    for j, (ci, bi) in enumerate([(0, None), (2, 3), (5, 6), (8, 9)]):
+        s16_p[f"Conv_{j}"] = {"kernel": _conv(sd, f"img_code_s16.{ci}.weight")}
+        if bi is not None:
+            p, s = _bn(sd, f"img_code_s16.{bi}")
+            s16_p[f"TorchBatchNorm_{j - 1}"] = p
+            s16_s[f"TorchBatchNorm_{j - 1}"] = s
+    params["img_code_s16"] = s16_p
+    stats["img_code_s16"] = s16_s
+    down = ["img_code_s32"] + (["img_code_s64"] if scale == 256 else [])
+    for name in down:  # downBlock: [conv4s2, BN, LReLU]
+        p, s = _bn(sd, f"{name}.1")
+        params[name] = {"Conv_0": {"kernel": _conv(sd, f"{name}.0.weight")},
+                        "TorchBatchNorm_0": p}
+        stats[name] = {"TorchBatchNorm_0": s}
+    blocks = (["img_code_s32_1"] if scale == 128
+              else ["img_code_s64_1", "img_code_s64_2"])
+    for name in blocks:  # Block3x3_leakRelu: [conv3x3, BN, LReLU]
+        p, s = _bn(sd, f"{name}.1")
+        params[name] = {
+            "Conv3x3_0": {"Conv_0": {"kernel": _conv(sd, f"{name}.0.weight")}},
+            "TorchBatchNorm_0": p}
+        stats[name] = {"TorchBatchNorm_0": s}
+    return params, stats
+
+
 def load_torch_checkpoint(path: str) -> dict:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

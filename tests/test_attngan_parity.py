@@ -309,32 +309,15 @@ def test_attngan_d64_forward_parity():
                             torch.from_numpy(t_inv),
                             torch.from_numpy(sent))
 
-    sd = td.state_dict()
-    lbn_p, lbn_s = _bn_split(sd, "local.1")
-    bn2p, bn2s = _bn_split(sd, "bn2")
-    bn3p, bn3s = _bn_split(sd, "bn3")
-    bn4p, bn4s = _bn_split(sd, "bn4")
-    jbn_p, jbn_s = _bn_split(sd, "joint.1")
-    params = {
-        "conv1": {"kernel": _conv_k(sd, "conv1.weight")},
-        "conv2": {"kernel": _conv_k(sd, "conv2.weight")},
-        "conv3": {"kernel": _conv_k(sd, "conv3.weight")},
-        "conv4": {"kernel": _conv_k(sd, "conv4.weight")},
-        "bn2": bn2p, "bn3": bn3p, "bn4": bn4p,
-        "local_conv": {"kernel": _conv_k(sd, "local.0.weight")},
-        "local_bn": lbn_p,
-        "cond_head": {
-            "jointConv": {
-                "Conv3x3_0": {"Conv_0": {"kernel": _conv_k(sd, "joint.0.weight")}},
-                "TorchBatchNorm_0": jbn_p},
-            "outlogits": {"kernel": _conv_k(sd, "out_cond.weight"),
-                          "bias": sd["out_cond.bias"].numpy()}},
-        "uncond_head": {
-            "outlogits": {"kernel": _conv_k(sd, "out_uncond.weight"),
-                          "bias": sd["out_uncond.bias"].numpy()}},
-    }
-    stats = {"bn2": bn2s, "bn3": bn3s, "bn4": bn4s, "local_bn": lbn_s,
-             "cond_head": {"jointConv": {"TorchBatchNorm_0": jbn_s}}}
+    # rename the replica's flat attrs to the reference's state_dict keys
+    # (D_NET64 holds its heads as COND_DNET/UNCOND_DNET submodules) and go
+    # through the real importer
+    from multiple_objects_gan_tpu.io.torch_import import import_attngan_d
+    sd = {k.replace("joint.", "COND_DNET.jointConv.")
+           .replace("out_cond.", "COND_DNET.outlogits.0.")
+           .replace("out_uncond.", "UNCOND_DNET.outlogits.0."): v.numpy()
+          for k, v in td.state_dict().items()}
+    params, stats = import_attngan_d(sd, scale=64)
 
     d = DNet64(DCFG)
     variables = {"params": params, "batch_stats": stats}

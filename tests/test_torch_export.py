@@ -222,3 +222,98 @@ def test_export_checkpoint_tool_stage1(tmp_path):
         ti.load_torch_checkpoint(d_pth), mcfg)
     jax.tree.map(np.testing.assert_array_equal, d_params,
                  jax.tree.map(np.asarray, state.d_params))
+
+
+def _attngan_head_sd(rng, ndf, nef):
+    """Reference-format COND_DNET/UNCOND_DNET keys (random values)."""
+    sd = {
+        "COND_DNET.jointConv.0.weight":
+            rng.randn(ndf * 8, ndf * 8 + nef, 3, 3).astype(np.float32),
+        "COND_DNET.jointConv.1.weight": rng.randn(ndf * 8).astype(np.float32),
+        "COND_DNET.jointConv.1.bias": rng.randn(ndf * 8).astype(np.float32),
+        "COND_DNET.jointConv.1.running_mean":
+            rng.randn(ndf * 8).astype(np.float32),
+        "COND_DNET.jointConv.1.running_var":
+            (1.0 + rng.rand(ndf * 8)).astype(np.float32),
+        "COND_DNET.jointConv.1.num_batches_tracked": np.zeros((), np.int64),
+        "COND_DNET.outlogits.0.weight":
+            rng.randn(1, ndf * 8, 4, 4).astype(np.float32),
+        "COND_DNET.outlogits.0.bias": rng.randn(1).astype(np.float32),
+        "UNCOND_DNET.outlogits.0.weight":
+            rng.randn(1, ndf * 8, 4, 4).astype(np.float32),
+        "UNCOND_DNET.outlogits.0.bias": rng.randn(1).astype(np.float32),
+    }
+    return sd
+
+
+@pytest.mark.parametrize("scale", [64, 128, 256])
+def test_attngan_d_export_roundtrip(scale):
+    rng = np.random.RandomState(scale)
+    if scale == 64:
+        feat = _np_sd(ap._randomize(ap.AttnD64Torch(), seed=61),
+                      renames=[("joint.", "COND_DNET.jointConv."),
+                               ("out_cond.", "COND_DNET.outlogits.0."),
+                               ("out_uncond.", "UNCOND_DNET.outlogits.0.")])
+        sd = feat  # replica already includes the heads
+    else:
+        rep = (ap.AttnD128Torch() if scale == 128 else ap.AttnD256Torch())
+        feat = _np_sd(ap._randomize(rep, seed=scale))
+        sd = {**feat, **_attngan_head_sd(rng, ap.NDF, ap.NEF)}
+    params, stats = ti.import_attngan_d(sd, scale=scale)
+    exported = tx.export_attngan_d(params, stats, scale=scale)
+    _assert_sd_roundtrip(sd, exported)
+
+
+def test_attngan_warm_start_from_exported_pth(tmp_path):
+    """Train-time TRAIN.NET_G warm-start (reference trainer.py:110-126):
+    export a tiny attngan state to bare netG_epoch_4.pth + netD%d.pth,
+    warm-start a fresh state from them, and require weight equality plus
+    the epoch parsed from the filename."""
+    import torch as _torch
+
+    from multiple_objects_gan_tpu.cli.attngan_runner import (
+        maybe_warm_start_attngan)
+    from multiple_objects_gan_tpu.models.attngan import (
+        DNet64, DNetScale, GNet)
+    from multiple_objects_gan_tpu.train.attngan_step import (
+        create_attngan_state)
+
+    cfg = ap.CFG  # branch_num=2, tiny dims
+    g = GNet(cfg)
+    d_modules = {"d64": DNet64(cfg), "d128": DNetScale(cfg, scale=128)}
+    src = create_attngan_state(cfg, g, d_modules, jax.random.PRNGKey(3),
+                               batch_size=2, seq_len=5)
+
+    def t(sd):
+        return {k: _torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}
+
+    g_path = str(tmp_path / "netG_epoch_4.pth")
+    _torch.save(t(tx.export_attngan_g(src.g_params, src.g_stats,
+                                      branch_num=cfg.branch_num,
+                                      r_num=cfg.r_num)), g_path)
+    for i, name in enumerate(("d64", "d128")):
+        _torch.save(t(tx.export_attngan_d(src.d_params[name],
+                                          src.d_stats[name],
+                                          scale=int(name[1:]))),
+                    str(tmp_path / f"netD{i}.pth"))
+
+    dst = create_attngan_state(cfg, g, d_modules, jax.random.PRNGKey(99),
+                               batch_size=2, seq_len=5)
+    dst, epoch = maybe_warm_start_attngan(dst, g_path, cfg)
+    assert epoch == 5
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, dst.g_params),
+                 jax.tree.map(np.asarray, src.g_params))
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, dst.g_ema),
+                 jax.tree.map(np.asarray, src.g_params))
+    for name in ("d64", "d128"):
+        jax.tree.map(np.testing.assert_array_equal,
+                     jax.tree.map(np.asarray, dst.d_params[name]),
+                     jax.tree.map(np.asarray, src.d_params[name]))
+
+    # missing file -> untouched state, epoch 0
+    same, epoch0 = maybe_warm_start_attngan(dst, str(tmp_path / "no.pth"),
+                                            cfg)
+    assert epoch0 == 0 and same is dst

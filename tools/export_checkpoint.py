@@ -156,6 +156,16 @@ def export_attngan(args) -> None:
         save_reference_checkpoint(args.out, epoch, net_g=sd)
     print(f"wrote {'raw' if args.raw else 'EMA'} netG (epoch {epoch}, "
           f"{'bare' if args.bare else 'netG container'}) to {args.out}")
+    if args.out_d:  # netD%d.pth next to NET_G (trainer.py:119-126)
+        from multiple_objects_gan_tpu.io.torch_export import export_attngan_d
+        os.makedirs(args.out_d, exist_ok=True)
+        for i, name in enumerate(sorted(state.d_params,
+                                        key=lambda n: int(n[1:]))):
+            path = os.path.join(args.out_d, f"netD{i}.pth")
+            _save_bare(export_attngan_d(state.d_params[name],
+                                        state.d_stats[name],
+                                        scale=int(name[1:])), path)
+            print(f"wrote bare {name} to {path}")
 
 
 def main(argv=None):
@@ -169,7 +179,9 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, default=None,
                    help="checkpoint epoch (default: latest)")
     p.add_argument("--out", required=True, help="output netG .pth path")
-    p.add_argument("--out_d", default="", help="also write a bare netD .pth")
+    p.add_argument("--out_d", default="",
+                   help="stage1/stage2: path for a bare netD .pth; "
+                        "attngan: directory for netD0/1/2.pth")
     p.add_argument("--s1_net_g", default="",
                    help="stage2: stage-1 netG .pth to embed as STAGE1_G.*")
     p.add_argument("--raw", action="store_true",
