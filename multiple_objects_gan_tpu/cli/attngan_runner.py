@@ -151,6 +151,12 @@ def maybe_warm_start_attngan(state, net_g: str, mcfg, b_net_d: bool = True):
                                         key=lambda n: int(n[1:]))):
             d_path = os.path.join(os.path.dirname(net_g), f"netD{i}.pth")
             if not os.path.exists(d_path):
+                # the reference hard-fails here (trainer.py:119-126); we
+                # keep training viable but make the mismatch loud — a
+                # pretrained G against fresh Ds destabilizes easily
+                print(f"WARNING: {d_path} not found — {name} keeps random "
+                      "init (reference would crash; pass B_NET_D: False "
+                      "to silence)", flush=True)
                 continue
             dp, dst = import_attngan_d(load_torch_checkpoint(d_path),
                                        scale=int(name[1:]))
@@ -223,7 +229,7 @@ def run(args, cfg, output_dir: str, seed: int):
     loader = Loader(ds, shuffle=True, seed=seed,
                     workers=int(cfg.WORKERS),
                     **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
-    mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
+    mesh = pmesh.make_mesh_for_batch(loader.bs)  # LOCAL batch (contract)
     state = pmesh.replicate_state(mesh, state)
     enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))

@@ -120,7 +120,7 @@ def run_damsm(args, cfg, output_dir: str, seed: int):
     loader = Loader(ds, shuffle=True, seed=seed,
                     workers=int(cfg.WORKERS),
                     **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
-    mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
+    mesh = pmesh.make_mesh_for_batch(loader.bs)  # LOCAL batch (contract)
     state = pmesh.replicate_state(mesh, state)
     writer = MetricWriter(os.path.join(output_dir, "logs"))
     enc_dir = os.path.join(output_dir, "DAMSMencoders")

@@ -122,7 +122,7 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
                     workers=int(cfg.WORKERS),
                     **shard_loader_kwargs(int(cfg.TRAIN.BATCH_SIZE)))
 
-    mesh = pmesh.make_mesh_for_batch(int(cfg.TRAIN.BATCH_SIZE))
+    mesh = pmesh.make_mesh_for_batch(loader.bs)  # LOCAL batch (contract)
     state = pmesh.replicate_state(mesh, state)
     s1_rep = jax.device_put(s1_vars, pmesh.replicated(mesh))
     writer = MetricWriter(os.path.join(output_dir, "logs"))

@@ -284,6 +284,19 @@ def export_attngan_d(params: dict, stats: dict, scale: int) -> dict:
     return sd
 
 
+def _to_torch(sd: dict | None) -> dict:
+    import torch
+    return {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in (sd or {}).items()}
+
+
+def save_bare_state_dict(sd: dict, path: str) -> None:
+    """torch.save a bare state_dict (the reference's NET_D / netD%d.pth
+    format, trainer.py:64-68 and attngan trainer.py:119-126)."""
+    import torch
+    torch.save(_to_torch(sd), path)
+
+
 def save_reference_checkpoint(path: str, epoch: int,
                               net_g: dict | None = None,
                               net_d: dict | None = None) -> None:
@@ -291,9 +304,5 @@ def save_reference_checkpoint(path: str, epoch: int,
     ({'epoch','netG','optimG','netD','optimD'}, miscc/utils.py:160-174)."""
     import torch
 
-    def t(sd):
-        return {k: torch.from_numpy(np.ascontiguousarray(v))
-                for k, v in (sd or {}).items()}
-
-    torch.save({"epoch": epoch, "netG": t(net_g), "optimG": {},
-                "netD": t(net_d), "optimD": {}}, path)
+    torch.save({"epoch": epoch, "netG": _to_torch(net_g), "optimG": {},
+                "netD": _to_torch(net_d), "optimD": {}}, path)

@@ -61,6 +61,15 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
     # multi-host: one process owns logging/grids; orbax saves stay
     # collective (every process must participate)
     main_proc = jax.process_index() == 0
+
+    def hook_state(state):
+        # Hooks run jitted computations (grids, attention montages) on
+        # process 0 only. A jit over global-mesh arrays must be enqueued
+        # by EVERY participating process — one process alone deadlocks —
+        # so under multi-process, hand hooks a host copy: their jits then
+        # run process-locally on this host's devices.
+        return jax.device_get(state) if jax.process_count() > 1 else state
+
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         # LR halving (code/multi-mnist/trainer.py:105-111); attngan passes
@@ -88,17 +97,17 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
                 writer.scalars(count, host)
             if (step_hook is not None and step_hook_every
                     and count % step_hook_every == 0 and main_proc):
-                step_hook(state, batch, count)
+                step_hook(hook_state(state), batch, count)
             count += 1
             last_batch = batch
-        host = {k: float(v) for k, v in metrics.items()}
         dt = time.time() - t0
         if main_proc:
+            host = {k: float(v) for k, v in metrics.items()}
             print(f"[{epoch}/{n_epochs}] "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
                   + f" time={dt:.1f}s", flush=True)
         if epoch_end_fn is not None and last_batch is not None and main_proc:
-            epoch_end_fn(state, last_batch, epoch)
+            epoch_end_fn(hook_state(state), last_batch, epoch)
         if snapshot_every and ((epoch + 1) % snapshot_every == 0
                                or epoch == n_epochs - 1):
             ckpt.save(epoch, jax.device_get(state))

@@ -42,10 +42,8 @@ def _models_dir(path: str) -> str:
 
 
 def _save_bare(sd: dict, path: str) -> None:
-    import numpy as np
-    import torch
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                for k, v in sd.items()}, path)
+    from multiple_objects_gan_tpu.io.torch_export import save_bare_state_dict
+    save_bare_state_dict(sd, path)
 
 
 def export_stage1(args) -> None:
