@@ -126,7 +126,8 @@ def bench_attngan():
 
     mcfg = dataclasses.replace(COCO_ATTN, gf_dim=48, df_dim=96,
                                branch_num=3, r_num=2)
-    bs, seq = 14, 12  # cfg/coco_attn_train.yml
+    # default = cfg/coco_attn_train.yml; MOG_ATTNGAN_BS sweeps batch scaling
+    bs, seq = int(os.environ.get("MOG_ATTNGAN_BS", 14)), 12
     g = GNet(mcfg)
     d_modules = {"d64": DNet64(mcfg),
                  "d128": DNetScale(mcfg, scale=128),
