@@ -165,10 +165,18 @@ def stn_place_multi(features: Array, bbox: Array, out_hw: tuple[int, int]) -> Ar
     per-object Python loop (model.py:162-169) with one batched op: the object
     axis folds into the matmul batch, then a single reduction.
 
-    On TPU this dispatches to the fused Pallas kernel (ops/stn_pallas.py,
-    custom_vjp with an exact-transpose backward); elsewhere the XLA
-    separable-matmul path below runs. Identical math either way.
+    Dispatch: the XLA separable-matmul path below is the DEFAULT on every
+    backend (a step-level A/B on TPU favored it — see ROADMAP); set
+    MOG_STN_PALLAS=1 to opt into the fused Pallas kernel
+    (ops/stn_pallas.py, custom_vjp with an exact-transpose backward).
+    Forward math is identical either way. bbox is treated as
+    NON-DIFFERENTIABLE data on both paths (its cotangent is zeroed here
+    so the opt-in kernel — whose custom_vjp returns zero bbox grads —
+    cannot silently change gradient semantics): bboxes come from the
+    dataset in every model, exactly like the reference, which builds the
+    transformation matrices outside the graph.
     """
+    bbox = jax.lax.stop_gradient(bbox)
     if _use_pallas():
         from multiple_objects_gan_tpu.ops.stn_pallas import (
             stn_place_multi_fused)

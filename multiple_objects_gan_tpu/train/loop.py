@@ -58,25 +58,28 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
             f"drop-last batch size is {loader.bs} — no training would run")
     count = 0
     metrics: dict = {}
-    # multi-host: one process owns logging/grids; orbax saves stay
-    # collective (every process must participate)
+    # multi-host: process 0 owns logging; orbax saves stay collective
+    # (every process must participate). Image hooks (epoch grids,
+    # attention montages) run only on SINGLE-process jobs: they invoke
+    # jits that close over global-mesh arrays (encoder vars, frozen
+    # stage-1 vars), and a jit over a multi-process device assignment
+    # enqueued by one process alone deadlocks. Multi-host runs still
+    # checkpoint every epoch — render grids offline from those.
     main_proc = jax.process_index() == 0
-
-    def hook_state(state):
-        # Hooks run jitted computations (grids, attention montages) on
-        # process 0 only. A jit over global-mesh arrays must be enqueued
-        # by EVERY participating process — one process alone deadlocks —
-        # so under multi-process, hand hooks a host copy: their jits then
-        # run process-locally on this host's devices.
-        return jax.device_get(state) if jax.process_count() > 1 else state
+    hooks_on = main_proc and jax.process_count() == 1
+    base_lr_g, base_lr_d = lr_g, lr_d
+    tracing = False
 
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
-        # LR halving (code/multi-mnist/trainer.py:105-111); attngan passes
-        # lr_decay_epochs=0 (its reference trainer never decays)
-        if lr_decay_epochs and epoch % lr_decay_epochs == 0 and epoch > 0:
-            lr_g *= 0.5
-            lr_d *= 0.5
+        # LR halving (code/multi-mnist/trainer.py:105-111), computed
+        # FUNCTIONALLY from the epoch index so a resumed run lands on the
+        # schedule a fresh run would be at (a stateful `lr *= 0.5` would
+        # skip every halving before start_epoch). attngan passes
+        # lr_decay_epochs=0 (its reference trainer never decays).
+        if lr_decay_epochs:
+            f = 0.5 ** (epoch // lr_decay_epochs)
+            lr_g, lr_d = base_lr_g * f, base_lr_d * f
         if lr_fn is not None:
             lr_g, lr_d = lr_fn(epoch)
         last_batch = None
@@ -85,29 +88,36 @@ def run_epochs(*, loader, state, step_fn, mesh, rng,
             # few post-warmup steps so the XLA timeline is inspectable
             if profile_dir and epoch == start_epoch and i == 2:
                 jax.profiler.start_trace(profile_dir)
+                tracing = True
             sharded = pmesh.shard_batch(mesh, batch)
             state, metrics = step_fn(state, sharded, rng,
                                      np.float32(lr_g), np.float32(lr_d))
-            if profile_dir and epoch == start_epoch and i == 5:
+            if tracing and i == 5:
                 jax.block_until_ready(state)
                 jax.profiler.stop_trace()
+                tracing = False
                 print(f"profiler trace written to {profile_dir}", flush=True)
             if i % log_every == 0 and main_proc:
                 host = {k: float(v) for k, v in metrics.items()}
                 writer.scalars(count, host)
             if (step_hook is not None and step_hook_every
-                    and count % step_hook_every == 0 and main_proc):
-                step_hook(hook_state(state), batch, count)
+                    and count % step_hook_every == 0 and hooks_on):
+                step_hook(state, batch, count)
             count += 1
             last_batch = batch
+        if tracing:  # first epoch had < 6 batches: finalize the trace
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"profiler trace written to {profile_dir}", flush=True)
         dt = time.time() - t0
         if main_proc:
             host = {k: float(v) for k, v in metrics.items()}
             print(f"[{epoch}/{n_epochs}] "
                   + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
                   + f" time={dt:.1f}s", flush=True)
-        if epoch_end_fn is not None and last_batch is not None and main_proc:
-            epoch_end_fn(hook_state(state), last_batch, epoch)
+        if epoch_end_fn is not None and last_batch is not None and hooks_on:
+            epoch_end_fn(state, last_batch, epoch)
         if snapshot_every and ((epoch + 1) % snapshot_every == 0
                                or epoch == n_epochs - 1):
             ckpt.save(epoch, jax.device_get(state))

@@ -62,8 +62,8 @@ def make_optimizer() -> optax.GradientTransformation:
     return optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
 
 
-def _cond(cfg: Stage1Config, label_onehot: Array, mu: Optional[Array],
-          for_g: bool) -> Array:
+def _cond(cfg: Stage1Config, label_onehot: Array,
+          mu: Optional[Array]) -> Array:
     if cfg.use_ca:
         # stackgan: condition is mu, detached in both D and G losses
         return jax.lax.stop_gradient(mu)
@@ -118,6 +118,117 @@ def create_state(cfg: Stage1Config, g_module, d_module, rng,
     )
 
 
+def _fused_alternating_step(tx, state: GANTrainState, g_fwd, d_module,
+                            image: Array, feat_args: tuple, cond_fn,
+                            *, use_uncond: bool, kl_coeff: Optional[float],
+                            lr_g: Array, lr_d: Array,
+                            ema_decay: Optional[float] = None):
+    """The shared D-then-G alternating update core (both stages).
+
+    One G forward with its VJP saved (≙ the reference's
+    ``errD.backward(retain_graph=True)``, trainer.py:142-157); D update
+    over real/wrong/fake (+ optional uncond head) with BN stats threaded
+    in the reference's call order; G update THROUGH THE UPDATED D.
+
+    g_fwd(g_params) -> (prim dict with 'img' [+ 'mu'/'logvar'], new_g_stats)
+    d_module.apply(dv, img, *feat_args, ...) is the feature forward;
+    cond_fn(prim) -> the matching-aware condition (label sum / clamped
+    sum / mu per variant). kl_coeff=None disables the CA KL term.
+    """
+    prim, g_vjp, g_stats_new = jax.vjp(g_fwd, state.g_params, has_aux=True)
+    fake = prim["img"]
+    b = image.shape[0]
+
+    # ---- D update ------------------------------------------------------
+    def d_loss_fn(d_params):
+        dv = {"params": d_params, "batch_stats": state.d_stats}
+        feat_real, s = d_module.apply(dv, image, *feat_args, train=True,
+                                      mutable=["batch_stats"])
+        dv = {"params": d_params, **s}
+        feat_fake, s = d_module.apply(dv, jax.lax.stop_gradient(fake),
+                                      *feat_args, train=True,
+                                      mutable=["batch_stats"])
+        cond = cond_fn(prim)
+        dv = {"params": d_params, **s}
+        real_logits, s = d_module.apply(dv, feat_real, cond, train=True,
+                                        method="cond_logits",
+                                        mutable=["batch_stats"])
+        dv = {"params": d_params, **s}
+        wrong_logits, s = d_module.apply(dv, feat_real[: b - 1],
+                                         cond[1:], train=True,
+                                         method="cond_logits",
+                                         mutable=["batch_stats"])
+        dv = {"params": d_params, **s}
+        fake_logits, s = d_module.apply(dv, feat_fake, cond, train=True,
+                                        method="cond_logits",
+                                        mutable=["batch_stats"])
+        u_real = u_fake = None
+        if use_uncond:
+            dv = {"params": d_params, **s}
+            u_real, s = d_module.apply(dv, feat_real, train=True,
+                                       method="uncond_logits",
+                                       mutable=["batch_stats"])
+            dv = {"params": d_params, **s}
+            u_fake, s = d_module.apply(dv, feat_fake, train=True,
+                                       method="uncond_logits",
+                                       mutable=["batch_stats"])
+        err_d, aux = discriminator_loss(real_logits, wrong_logits,
+                                        fake_logits, u_real, u_fake)
+        return err_d, (s["batch_stats"], aux)
+
+    (err_d, (d_stats_new, d_aux)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(state.d_params)
+    d_updates, d_opt_new = tx.update(d_grads, state.d_opt, state.d_params)
+    d_params_new = optax.apply_updates(
+        state.d_params, jax.tree.map(lambda u: -lr_d * u, d_updates))
+
+    # ---- G update through the UPDATED D ---------------------------------
+    def g_loss_fn(prim_in):
+        dv = {"params": d_params_new, "batch_stats": d_stats_new}
+        feat_fake, s = d_module.apply(dv, prim_in["img"], *feat_args,
+                                      train=True, mutable=["batch_stats"])
+        cond = cond_fn(prim_in)
+        dv = {"params": d_params_new, **s}
+        fake_logits, s = d_module.apply(dv, feat_fake, cond, train=True,
+                                        method="cond_logits",
+                                        mutable=["batch_stats"])
+        u_fake = None
+        if use_uncond:
+            dv = {"params": d_params_new, **s}
+            u_fake, s = d_module.apply(dv, feat_fake, train=True,
+                                       method="uncond_logits",
+                                       mutable=["batch_stats"])
+        adv = generator_adv_loss(fake_logits, u_fake)
+        total = adv
+        aux = {"g_loss": adv}
+        if kl_coeff is not None:
+            kl = kl_loss(prim_in["mu"], prim_in["logvar"])
+            total = total + kl * kl_coeff
+            aux["kl_loss"] = kl
+        return total, (s["batch_stats"], aux)
+
+    (err_g, (d_stats_final, g_aux)), prim_bar = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(prim)
+    (g_grads,) = g_vjp(prim_bar)
+    g_updates, g_opt_new = tx.update(g_grads, state.g_opt, state.g_params)
+    g_params_new = optax.apply_updates(
+        state.g_params, jax.tree.map(lambda u: -lr_g * u, g_updates))
+
+    g_ema_new = state.g_ema
+    if state.g_ema is not None and ema_decay is not None:
+        g_ema_new = jax.tree.map(
+            lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+            state.g_ema, g_params_new)
+
+    new_state = state.replace(
+        step=state.step + 1,
+        g_params=g_params_new, d_params=d_params_new,
+        g_stats=g_stats_new, d_stats=d_stats_final,
+        g_opt=g_opt_new, d_opt=d_opt_new, g_ema=g_ema_new)
+    metrics = {"d_loss": err_d, "g_loss_total": err_g, **d_aux, **g_aux}
+    return new_state, metrics
+
+
 def make_train_step(cfg: Stage1Config, g_module, d_module,
                     kl_coeff: float = 2.0,
                     ema_decay: Optional[float] = None) -> Callable:
@@ -137,7 +248,6 @@ def make_train_step(cfg: Stage1Config, g_module, d_module,
         b = image.shape[0]
         z = jax.random.normal(rng_z, (b, cfg.z_dim), jnp.float32)
 
-        # ---- (1) G forward once, VJP saved for the G update -------------
         def g_fwd(g_params):
             out, new_vars = g_module.apply(
                 {"params": g_params, "batch_stats": state.g_stats},
@@ -155,101 +265,12 @@ def make_train_step(cfg: Stage1Config, g_module, d_module,
         # with the MXU ~1/3 idle, so trading FLOPs for bytes can pay
         g_fwd_maybe_remat = (jax.checkpoint(g_fwd) if _remat_enabled()
                              else g_fwd)
-        prim, g_vjp, g_stats_new = jax.vjp(g_fwd_maybe_remat,
-                                           state.g_params, has_aux=True)
-        fake = prim["img"]
-        mu = prim.get("mu")
-
-        # ---- (2) D update ------------------------------------------------
-        def d_loss_fn(d_params):
-            dv = {"params": d_params, "batch_stats": state.d_stats}
-
-            feat_real, s = d_module.apply(dv, image, labels, bbox, train=True,
-                                          mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            feat_fake, s = d_module.apply(dv, jax.lax.stop_gradient(fake),
-                                          labels, bbox, train=True,
-                                          mutable=["batch_stats"])
-            cond = _cond(cfg, labels, mu, for_g=False)
-            dv = {"params": d_params, **s}
-            real_logits, s = d_module.apply(dv, feat_real, cond, train=True,
-                                            method="cond_logits",
-                                            mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            wrong_logits, s = d_module.apply(dv, feat_real[: b - 1],
-                                             cond[1:], train=True,
-                                             method="cond_logits",
-                                             mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            fake_logits, s = d_module.apply(dv, feat_fake, cond, train=True,
-                                            method="cond_logits",
-                                            mutable=["batch_stats"])
-            u_real = u_fake = None
-            if cfg.use_uncond_head:
-                dv = {"params": d_params, **s}
-                u_real, s = d_module.apply(dv, feat_real, train=True,
-                                           method="uncond_logits",
-                                           mutable=["batch_stats"])
-                dv = {"params": d_params, **s}
-                u_fake, s = d_module.apply(dv, feat_fake, train=True,
-                                           method="uncond_logits",
-                                           mutable=["batch_stats"])
-            err_d, aux = discriminator_loss(real_logits, wrong_logits,
-                                            fake_logits, u_real, u_fake)
-            return err_d, (s["batch_stats"], aux)
-
-        (err_d, (d_stats_new, d_aux)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, d_opt_new = tx.update(d_grads, state.d_opt, state.d_params)
-        d_params_new = optax.apply_updates(
-            state.d_params, jax.tree.map(lambda u: -lr_d * u, d_updates))
-
-        # ---- (3) G update through the UPDATED D --------------------------
-        def g_loss_fn(prim_in):
-            fake_in = prim_in["img"]
-            dv = {"params": d_params_new, "batch_stats": d_stats_new}
-            feat_fake, s = d_module.apply(dv, fake_in, labels, bbox,
-                                          train=True, mutable=["batch_stats"])
-            cond = _cond(cfg, labels, prim_in.get("mu"), for_g=True)
-            dv = {"params": d_params_new, **s}
-            fake_logits, s = d_module.apply(dv, feat_fake, cond, train=True,
-                                            method="cond_logits",
-                                            mutable=["batch_stats"])
-            u_fake = None
-            if cfg.use_uncond_head:
-                dv = {"params": d_params_new, **s}
-                u_fake, s = d_module.apply(dv, feat_fake, train=True,
-                                           method="uncond_logits",
-                                           mutable=["batch_stats"])
-            adv = generator_adv_loss(fake_logits, u_fake)
-            total = adv
-            aux = {"g_loss": adv}
-            if cfg.use_ca:
-                kl = kl_loss(prim_in["mu"], prim_in["logvar"])
-                total = total + kl * kl_coeff
-                aux["kl_loss"] = kl
-            return total, (s["batch_stats"], aux)
-
-        (err_g, (d_stats_final, g_aux)), prim_bar = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(prim)
-        (g_grads,) = g_vjp(prim_bar)
-        g_updates, g_opt_new = tx.update(g_grads, state.g_opt, state.g_params)
-        g_params_new = optax.apply_updates(
-            state.g_params, jax.tree.map(lambda u: -lr_g * u, g_updates))
-
-        g_ema_new = state.g_ema
-        if state.g_ema is not None and ema_decay is not None:
-            g_ema_new = jax.tree.map(
-                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
-                state.g_ema, g_params_new)
-
-        new_state = state.replace(
-            step=state.step + 1,
-            g_params=g_params_new, d_params=d_params_new,
-            g_stats=g_stats_new, d_stats=d_stats_final,
-            g_opt=g_opt_new, d_opt=d_opt_new, g_ema=g_ema_new)
-        metrics = {"d_loss": err_d, "g_loss_total": err_g, **d_aux, **g_aux}
-        return new_state, metrics
+        return _fused_alternating_step(
+            tx, state, g_fwd_maybe_remat, d_module, image, (labels, bbox),
+            lambda prim: _cond(cfg, labels, prim.get("mu")),
+            use_uncond=cfg.use_uncond_head,
+            kl_coeff=kl_coeff if cfg.use_ca else None,
+            lr_g=lr_g, lr_d=lr_d, ema_decay=ema_decay)
 
     return train_step
 
@@ -327,85 +348,12 @@ def make_stage2_train_step(cfg, s1_cfg, g1_module, g2_module, d2_module,
                     "logvar": out["logvar"]}
             return prim, new_vars["batch_stats"]
 
-        prim, g_vjp, g_stats_new = jax.vjp(g_fwd, state.g_params,
-                                           has_aux=True)
-        fake = prim["img"]
-        mu = prim["mu"]
-
-        def d_loss_fn(d_params):
-            dv = {"params": d_params, "batch_stats": state.d_stats}
-            feat_real, s = d2_module.apply(dv, image, labels, bbox_s2,
-                                           train=True,
-                                           mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            feat_fake, s = d2_module.apply(dv, jax.lax.stop_gradient(fake),
-                                           labels, bbox_s2, train=True,
-                                           mutable=["batch_stats"])
-            cond = jax.lax.stop_gradient(mu)
-            dv = {"params": d_params, **s}
-            real_logits, s = d2_module.apply(dv, feat_real, cond, train=True,
-                                             method="cond_logits",
-                                             mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            wrong_logits, s = d2_module.apply(dv, feat_real[: b - 1],
-                                              cond[1:], train=True,
-                                              method="cond_logits",
-                                              mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            fake_logits, s = d2_module.apply(dv, feat_fake, cond, train=True,
-                                             method="cond_logits",
-                                             mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            u_real, s = d2_module.apply(dv, feat_real, train=True,
-                                        method="uncond_logits",
-                                        mutable=["batch_stats"])
-            dv = {"params": d_params, **s}
-            u_fake, s = d2_module.apply(dv, feat_fake, train=True,
-                                        method="uncond_logits",
-                                        mutable=["batch_stats"])
-            err_d, aux = discriminator_loss(real_logits, wrong_logits,
-                                            fake_logits, u_real, u_fake)
-            return err_d, (s["batch_stats"], aux)
-
-        (err_d, (d_stats_new, d_aux)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, d_opt_new = tx.update(d_grads, state.d_opt, state.d_params)
-        d_params_new = optax.apply_updates(
-            state.d_params, jax.tree.map(lambda u: -lr_d * u, d_updates))
-
-        def g_loss_fn(prim_in):
-            dv = {"params": d_params_new, "batch_stats": d_stats_new}
-            feat_fake, s = d2_module.apply(dv, prim_in["img"], labels,
-                                           bbox_s2, train=True,
-                                           mutable=["batch_stats"])
-            cond = jax.lax.stop_gradient(prim_in["mu"])
-            dv = {"params": d_params_new, **s}
-            fake_logits, s = d2_module.apply(dv, feat_fake, cond, train=True,
-                                             method="cond_logits",
-                                             mutable=["batch_stats"])
-            dv = {"params": d_params_new, **s}
-            u_fake, s = d2_module.apply(dv, feat_fake, train=True,
-                                        method="uncond_logits",
-                                        mutable=["batch_stats"])
-            adv = generator_adv_loss(fake_logits, u_fake)
-            kl = kl_loss(prim_in["mu"], prim_in["logvar"])
-            total = adv + kl * kl_coeff
-            return total, (s["batch_stats"], {"g_loss": adv, "kl_loss": kl})
-
-        (err_g, (d_stats_final, g_aux)), prim_bar = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(prim)
-        (g_grads,) = g_vjp(prim_bar)
-        g_updates, g_opt_new = tx.update(g_grads, state.g_opt, state.g_params)
-        g_params_new = optax.apply_updates(
-            state.g_params, jax.tree.map(lambda u: -lr_g * u, g_updates))
-
-        new_state = state.replace(
-            step=state.step + 1,
-            g_params=g_params_new, d_params=d_params_new,
-            g_stats=g_stats_new, d_stats=d_stats_final,
-            g_opt=g_opt_new, d_opt=d_opt_new)
-        metrics = {"d_loss": err_d, "g_loss_total": err_g, **d_aux, **g_aux}
-        return new_state, metrics
+        # D consumes the 256px images with the stage-2-scale bboxes; the
+        # cond head is fed mu (trainer.py:211); uncond head always on
+        return _fused_alternating_step(
+            tx, state, g_fwd, d2_module, image, (labels, bbox_s2),
+            lambda prim: jax.lax.stop_gradient(prim["mu"]),
+            use_uncond=True, kl_coeff=kl_coeff, lr_g=lr_g, lr_d=lr_d)
 
     return train_step
 
