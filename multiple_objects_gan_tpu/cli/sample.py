@@ -182,7 +182,10 @@ def _caption_lines(lab, variant):
     if variant == "clevr":
         lines = []
         for l in lab:
-            if l.max() <= 0:
+            # skip absent objects: all-zero rows (layout surgery) or the
+            # reference's pad one-hots (shape slot 3 / color slot 8 —
+            # datasets.py label_one_hot, labels[labels < 0] = dim-1)
+            if l.max() <= 0 or int(np.argmax(l[:4])) == 3:
                 continue
             lines.append(f"{CLEVR_COLOR_NAMES.get(int(np.argmax(l[4:])), '?')} "
                          f"{CLEVR_SHAPE_NAMES.get(int(np.argmax(l[:4])), '?')}")

@@ -58,6 +58,15 @@ def load_captions(data_dir: str, filenames, captions_per_image: int):
             cnt += 1
             if cnt == captions_per_image:
                 break
+        if cnt < captions_per_image:
+            # hard error where the reference only prints one
+            # (datasets.py:258-259): the flat caption list is indexed as
+            # index * captions_per_image + sent_ix, so a short file would
+            # silently mispair captions with every SUBSEQUENT image
+            raise ValueError(
+                f"ERROR: the captions for {name} less than "
+                f"{captions_per_image} ({cnt}) — the flat caption index "
+                "would misalign all later images")
     return all_captions
 
 

@@ -97,7 +97,10 @@ class CocoStackganDataset:
         onehot = labels_to_onehot(self.labels[index])
 
         if not self.crop:
+            # no crop -> the normalized bbox applies unchanged at both scales
             out = {"image": arr, "bbox": bbox.astype(np.float32)}
+            if self.stage == 2:
+                out["bbox_s2"] = bbox.astype(np.float32)
         else:
             flip = self._rng.rand() < 0.5
             margin = self.ori_size - self.imsize
@@ -107,20 +110,16 @@ class CocoStackganDataset:
             if flip:
                 crop = crop[:, ::-1].copy()
 
-            def scale(ori, ims):
-                out = np.full_like(bbox, -1.0, dtype=np.float32)
-                for i in range(self.max_objects):
-                    if bbox[i][0] == -1:
-                        break
-                    out[i] = _rescale_bbox(bbox[i], ori, ims, h1, w1, flip)
-                return out
-
             if self.stage == 1:
-                out = {"image": crop, "bbox": scale(self.ori_size, self.imsize)}
+                out = {"image": crop,
+                       "bbox": self._scale_all(bbox, self.ori_size,
+                                               self.imsize, h1, w1, flip)}
             else:
                 out = {"image": crop,
-                       "bbox": scale(76, 64),           # stage-1 coords
-                       "bbox_s2": scale(self.ori_size, self.imsize)}
+                       "bbox": self._scale_all(bbox, 76, 64,  # stage-1 coords
+                                               h1, w1, flip),
+                       "bbox_s2": self._scale_all(bbox, self.ori_size,
+                                                  self.imsize, h1, w1, flip)}
         out["label_onehot"] = onehot
         out["text_embedding"] = emb.astype(np.float32)
         return out
@@ -158,6 +157,8 @@ class CocoStackganDataset:
             if not self.crop:
                 imgs[j] = arrs[j]
                 bbox1[j] = self.bboxes[i]
+                if bbox2 is not None:  # same normalized coords, no crop
+                    bbox2[j] = self.bboxes[i]
                 continue
             flip = self._rng.rand() < 0.5
             margin = self.ori_size - self.imsize

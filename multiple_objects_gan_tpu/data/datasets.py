@@ -89,6 +89,14 @@ class MultiMnistDataset:
     def __getitem__(self, idx: int) -> dict:
         key = str(self.filenames[idx]).split("/")[-1]
         img = _load_image(os.path.join(self.img_dir, key), self.channels)
+        if img.shape[:2] != (self.imsize, self.imsize):
+            # keep the per-item path shape-consistent with the cache /
+            # get_batch path (which decodes straight to imsize)
+            im = Image.fromarray(img[..., 0] if self.channels == 1 else img)
+            im = im.resize((self.imsize, self.imsize), Image.BILINEAR)
+            img = np.asarray(im)
+            if self.channels == 1:
+                img = img[..., None]
         return {"image": img,
                 "bbox": self.bboxes[idx].astype(np.float32),
                 "label_onehot": self.labels[idx].astype(np.float32)}
@@ -139,17 +147,25 @@ class ClevrDataset:
             os.path.join(self.img_dir, scene["image_filename"]), 3)
         h, w = img.shape[:2]
         bbox = np.full((self.max_objects, 4), -1.0, np.float32)
+        # pad (absent) objects one-hot the LAST slot of each group —
+        # shape 3, color 8 (combined index 12) — exactly the reference's
+        # label_one_hot (datasets.py:100-107, labels[labels < 0] = dim-1);
+        # their STN contribution is empty (bbox -1) but the pad one-hots
+        # DO enter the D condition sum (utils.py:98-99)
         label = np.zeros((self.max_objects, self.label_dim), np.float32)
+        label[:, 3] = 1.0
+        label[:, 4 + 8] = 1.0
         for i, obj in enumerate(scene["objects"][: self.max_objects]):
             x, y, bw, bh = obj["bbox"]
             bbox[i] = [x / w, y / h, bw / w, bh / h]
+            label[i] = 0.0
             label[i, CLEVR_SHAPES[obj["shape"]]] = 1.0
             label[i, 4 + CLEVR_COLORS[obj["color"]]] = 1.0
         if self.hflip and self._rng.rand() < 0.5:
             img = img[:, ::-1].copy()
             valid = bbox[:, 0] >= 0
             bbox[valid, 0] = 1.0 - bbox[valid, 0] - bbox[valid, 2]
-        if img.shape[0] != self.imsize:
+        if img.shape[:2] != (self.imsize, self.imsize):
             # uint8 throughout — exactly the reference's PIL-then-ToTensor
             # order (transforms on uint8, normalize last)
             im = Image.fromarray(img).resize(
@@ -200,17 +216,23 @@ class Loader:
         get_batch = getattr(self.ds, "get_batch", None)
 
         def worker():
-            for b in range(n_batches):
-                idxs = order[b * self.bs:(b + 1) * self.bs]
-                if get_batch is not None:
-                    batch = (get_batch(idxs, threads=self.workers)
-                             if self.workers else get_batch(idxs))
-                else:
-                    items = [self.ds[int(i)] for i in idxs]
-                    batch = {k: np.stack([it[k] for it in items])
-                             for k in items[0]}
-                q.put(batch)
-            q.put(None)
+            # forward exceptions to the consumer: a dead worker that never
+            # enqueues the sentinel would otherwise hang the train loop on
+            # q.get() forever (easily misread as a TPU-tunnel wedge)
+            try:
+                for b in range(n_batches):
+                    idxs = order[b * self.bs:(b + 1) * self.bs]
+                    if get_batch is not None:
+                        batch = (get_batch(idxs, threads=self.workers)
+                                 if self.workers else get_batch(idxs))
+                    else:
+                        items = [self.ds[int(i)] for i in idxs]
+                        batch = {k: np.stack([it[k] for it in items])
+                                 for k in items[0]}
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -218,6 +240,8 @@ class Loader:
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
 
 

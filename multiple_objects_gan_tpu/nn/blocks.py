@@ -208,13 +208,18 @@ class UpConv3x3(nn.Module):
 
     features: int
     kernel_init: Callable = normal_init()
-    phase_max_out: int = int(os.environ.get("MOG_PHASE_MAX_OUT", "64"))
+    # None -> MOG_PHASE_MAX_OUT read at trace time (A/B-able post-import)
+    phase_max_out: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, cin = x.shape
         k = _ConvKernel(self.features, self.kernel_init, name="Conv_0")(cin)
         mode = os.environ.get("MOG_UPCONV", "dilated")
+        # env read at trace time (like MOG_UPCONV) so post-import env
+        # changes are honored in A/B runs; an explicit field wins
+        phase_max_out = (self.phase_max_out if self.phase_max_out is not None
+                         else int(os.environ.get("MOG_PHASE_MAX_OUT", "64")))
         if mode == "dilated":
             kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
             xx = x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE)
@@ -225,7 +230,7 @@ class UpConv3x3(nn.Module):
             return jax.lax.conv_general_dilated(
                 xx, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if mode == "naive" or 2 * max(h, w) > self.phase_max_out:
+        if mode == "naive" or 2 * max(h, w) > phase_max_out:
             kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
             xx = upsample_nearest_2x(
                 x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE))

@@ -108,7 +108,6 @@ class RNNEncoder(nn.Module):
                  train: bool = False,
                  dropout_rng: Optional[Array] = None) -> tuple[Array, Array]:
         h = self.nhidden // 2
-        emb_init = nn.initializers.uniform(scale=0.2)  # U(-0.1, 0.1) offset
 
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -0.1, 0.1)

@@ -203,3 +203,27 @@ def test_checkpoint_roundtrip(tmp_path):
     # rotation keeps only 2
     kept = [d for d in os.listdir(tmp_path / "ckpt") if d.isdigit()]
     assert len(kept) == 2
+
+
+def test_clevr_dataset_pad_label_slots(tmp_path):
+    """Absent objects one-hot the LAST slot of each label group (shape 3,
+    color 8 -> combined index 12), exactly like the reference's
+    label_one_hot (code/clevr/miscc/datasets.py:100-107,
+    labels[labels < 0] = dim-1); real objects leave those slots at 0."""
+    from multiple_objects_gan_tpu.data.datasets import (
+        ClevrDataset, write_synthetic_clevr)
+
+    write_synthetic_clevr(str(tmp_path), n=8, split="train", seed=0)
+    ds = ClevrDataset(str(tmp_path), split="train", hflip=False)
+    found_pad = False
+    for i in range(len(ds)):
+        item = ds[i]
+        lab, bb = item["label_onehot"], item["bbox"]
+        for j in range(4):
+            assert lab[j].sum() == 2.0  # one shape slot + one color slot
+            if bb[j, 0] < 0:
+                found_pad = True
+                assert lab[j, 3] == 1.0 and lab[j, 4 + 8] == 1.0
+            else:
+                assert lab[j, 3] == 0.0 and lab[j, 4 + 8] == 0.0
+    assert found_pad  # the synthetic writer emits 2-4 objects per scene
