@@ -349,17 +349,11 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
 
         if draw_bbox:
             # white 1-px rectangle edges on all 10 tiles
-            # (trainer.py:558-569; value 1.0 == white after [-1,1] mapping)
-            for bb in np.asarray(batch["bbox"][0]):
-                if bb[0] < 0:
-                    break
-                x, y = int(imsize * bb[0]), int(imsize * bb[1])
-                w = min(int(imsize * bb[2]), imsize - 1)
-                h = min(int(imsize * bb[3]), imsize - 1)
-                tiles[:, y, x:x + w] = 1.0
-                tiles[:, y:y + h, x] = 1.0
-                tiles[:, min(y + h, imsize - 1), x:x + w] = 1.0
-                tiles[:, y:y + h, min(x + w, imsize - 1)] = 1.0
+            # (trainer.py:558-569) — shared with the stage-1 sampler
+            from multiple_objects_gan_tpu.cli.sample import (
+                _draw_white_bbox_edges)
+            _draw_white_bbox_edges(tiles, np.asarray(batch["bbox"][0]),
+                                   imsize)
 
         # caption words up to the first <end> as the filename
         # (trainer.py:571-578)
@@ -383,7 +377,7 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     runs these externally; BASELINE.md makes them in-repo targets)."""
     from multiple_objects_gan_tpu.data.datasets import Loader
     from multiple_objects_gan_tpu.utils.metrics import (
-        compute_fid, inception_score)
+        fid_from_activations, inception_activations, inception_score)
     from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
@@ -446,7 +440,10 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
 
     written = 0
     limit = num_images or len(ds)
-    fakes_acc, reals_acc = [], []
+    # accumulate 2048-d Inception activations PER BATCH, not images: at
+    # the reference's 30k-image dump, f32 256px frames are ~24 GB per
+    # side — pooled features are ~250 MB total
+    fake_acts, real_acts = [], []
     top = f"image{ds.imsizes[-1]}"
     for batch in loader.epoch(0):
         z = jax.random.normal(jax.random.fold_in(rng, written),
@@ -455,22 +452,26 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
                            np.asarray(batch["cap_lens"]),
                            np.asarray(batch["bbox"]),
                            np.asarray(batch["label_onehot"]), z)
-        for i in range(imgs.shape[0]):
+        take = min(imgs.shape[0], limit - written)
+        reals = as_model_image(np.asarray(batch[top][:take])).astype(
+            np.float32)
+        fake_acts.append(inception_activations(
+            image_enc, enc_vars["image"], imgs[:take]))
+        real_acts.append(inception_activations(
+            image_enc, enc_vars["image"], reals))
+        for i in range(take):
             Image.fromarray(to_uint8(imgs[i])).save(
                 os.path.join(out_dir, f"s_{written:06d}.png"))
-            fakes_acc.append(imgs[i])
-            reals_acc.append(as_model_image(np.asarray(batch[top][i])))
             written += 1
-            if written >= limit:
-                break
         if written >= limit:
             break
     print(f"wrote {written} single images to {out_dir}", flush=True)
 
-    fakes = np.stack(fakes_acc)
-    reals = np.stack(reals_acc)
-    fid = compute_fid(image_enc, enc_vars["image"], reals, fakes)
-    is_mean, is_std = inception_score(image_enc, enc_vars["image"], fakes)
+    fake_acts = np.concatenate(fake_acts)
+    real_acts = np.concatenate(real_acts)
+    fid = fid_from_activations(real_acts, fake_acts)
+    is_mean, is_std = inception_score(image_enc, enc_vars["image"],
+                                      acts=fake_acts)
     print(f"FID: {fid:.3f}  IS: {is_mean:.3f} +/- {is_std:.3f}", flush=True)
     import json
     with open(os.path.join(output_dir, "eval_metrics.json"), "w") as f:

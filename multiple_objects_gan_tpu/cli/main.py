@@ -94,8 +94,7 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_comp_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    from multiple_objects_gan_tpu.config.config import (
-        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.config.config import cfg_from_file
 
     if args.bf16:
         import jax.numpy as jnp

@@ -41,8 +41,6 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
                   change_bbox_size: Optional[float] = None,
                   state=None) -> str:
     """Generate qualitative grids. Returns the directory written to."""
-    import os as _os
-
     # layout-surgery knobs: CLI flags override the kwargs (the reference
     # exposes these only as code-edited parameters, trainer.py:219-253)
     if getattr(args, "num_objects", None) is not None:
@@ -56,14 +54,18 @@ def sample_stage1(args, cfg, mcfg, g_module, output_dir: str,
             maybe_load_reference_g)
         state = create_state(mcfg, g_module, _dummy_d(mcfg), rng)
         net_g = cfg.get("NET_G", "")
-        if net_g and _os.path.isdir(net_g):
+        if net_g and os.path.isdir(net_g):
             # an output dir of our own training -> orbax restore
             from multiple_objects_gan_tpu.io.checkpoint import (
                 CheckpointManager)
-            mgr = CheckpointManager(_os.path.join(net_g, "models"))
+            mgr = CheckpointManager(os.path.join(net_g, "models"))
             if mgr.latest_epoch() is not None:
                 state, ep = mgr.restore(state)
                 print(f"restored G from {net_g} (epoch {ep})", flush=True)
+            else:
+                print(f"WARNING: NET_G dir {net_g!r} holds no checkpoint — "
+                      "sampling from randomly initialized weights",
+                      flush=True)
         else:
             loaded = maybe_load_reference_g(net_g, mcfg, state)
             if loaded is not None:
@@ -137,7 +139,8 @@ def _draw_white_bbox_edges(tiles: np.ndarray, bb: np.ndarray,
             y -= 1
             h -= 1
         if x <= -1:
-            break
+            continue  # pad row (bbox -1) — layout surgery can leave pads
+                      # mid-array, so skip rather than stop
         tiles[:, y, x:x + w] = 1.0
         tiles[:, y:y + h, x] = 1.0
         tiles[:, y + h, x:x + w] = 1.0
@@ -163,6 +166,11 @@ def _dummy_d(mcfg):
 
 def _layout_surgery(lab, bb, n_objects, rnd, label_dim):
     """Fewer/more objects than trained with (trainer.py:219-243)."""
+    # operate on REAL objects only: clevr items carry -1-padded rows, and
+    # truncating/appending around pads would keep pad rows or hide new
+    # objects behind them
+    valid = bb[:, 0] >= 0
+    lab, bb = lab[valid], bb[valid]
     cur = lab.shape[0]
     if n_objects <= cur:
         return lab[:n_objects], bb[:n_objects]

@@ -242,7 +242,26 @@ class Stage1Service:
         self._rng = rng
         self._n = 0
         # warm the executable so the first request doesn't pay the compile
-        self.run([{}])
+        # (stackgan needs a text embedding on every item — dummy zeros)
+        warm = ({"text_embedding": [0.0] * self.mcfg.text_dim}
+                if self.mcfg.text_dim else {})
+        self.run([warm])
+
+    def validate(self, item: dict) -> None:
+        """Raise ValueError for a malformed request item. Runs in the HTTP
+        thread BEFORE the micro-batcher, so one client's bad item cannot
+        fail the other requests coalesced into the same device batch."""
+        mc = self.mcfg
+        _item_layout(item, mc.num_objects, mc.label_dim,
+                     np.random.RandomState(0))
+        if mc.text_dim:
+            emb = item.get("text_embedding")
+            if emb is None:
+                raise ValueError(f"{self.variant} items need a "
+                                 f"{mc.text_dim}-d text_embedding")
+            if np.asarray(emb, np.float32).reshape(-1).size != mc.text_dim:
+                raise ValueError(
+                    f"text_embedding must have {mc.text_dim} values")
 
     def run(self, items: list) -> list:
         import jax
@@ -318,6 +337,14 @@ class AttnGanService:
         self._gen = gen
         self.run([{"caption": "a"}])  # warm the executable
 
+    def validate(self, item: dict) -> None:
+        """Per-item request validation in the HTTP thread (see
+        Stage1Service.validate)."""
+        cap = item.get("caption", "")
+        if not isinstance(cap, str):
+            raise ValueError("caption must be a string")
+        _item_layout(item, 3, self.mcfg.label_dim, np.random.RandomState(0))
+
     def _tokenize(self, caption: str):
         from multiple_objects_gan_tpu.data.attngan import tokenize
 
@@ -383,7 +410,7 @@ def _restore_stage1(cfg, mcfg, state):
 # HTTP layer
 
 
-def make_handler(batcher: MicroBatcher, info: dict):
+def make_handler(batcher: MicroBatcher, info: dict, validate=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default
             pass
@@ -416,6 +443,10 @@ def make_handler(batcher: MicroBatcher, info: dict):
                 if len(items) > batcher.max_batch:
                     raise ValueError(
                         f"at most {batcher.max_batch} items per request")
+                if validate is not None:
+                    for it in items:  # reject HERE, not inside the shared
+                        validate(it)  # device batch (one bad item must not
+                                      # fail other clients' requests)
                 self._json(200, {"images": batcher.submit_many(items)})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
@@ -427,8 +458,13 @@ def make_handler(batcher: MicroBatcher, info: dict):
 
 def build_service(args, cfg):
     if args.variant == "coco-attngan":
-        return AttnGanService(cfg, args.data_dir, args.img_dir or
-                              args.data_dir, args.max_batch, args.seed)
+        # flags override the YAML, but the YAML's DATA_DIR/IMG_DIR must
+        # work on their own (like every other entry point)
+        data_dir = args.data_dir or str(cfg.DATA_DIR)
+        img_dir = (args.img_dir or str(cfg.get("IMG_DIR", ""))
+                   or data_dir)
+        return AttnGanService(cfg, data_dir, img_dir, args.max_batch,
+                              args.seed)
     return Stage1Service(cfg, args.variant, args.max_batch, args.seed)
 
 
@@ -440,7 +476,9 @@ def serve(args, cfg) -> ThreadingHTTPServer:
                            max_wait_ms=args.max_wait_ms)
     info = {"variant": args.variant, "max_batch": args.max_batch}
     httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(batcher, info))
+                                make_handler(batcher, info,
+                                             validate=getattr(
+                                                 svc, "validate", None)))
     httpd.batcher = batcher  # for tests/stats
     return httpd
 

@@ -9,31 +9,44 @@ image_encoder .pth for meaningful numbers).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@functools.lru_cache(maxsize=4)
+def _feats_fn(image_encoder):
+    """One compiled pooled-features fn per encoder module. enc_vars enter
+    as jit ARGUMENTS — baking ~24M Inception params into the jaxpr as
+    closure constants both re-pays the compile on every call and trips
+    the tunneled-TPU remote-compile size limit (HTTP 413; see CLAUDE.md)."""
+
+    @jax.jit
+    def feats(enc_vars, x):
+        _, _, pool = image_encoder.apply(enc_vars, x, train=False,
+                                         return_pool=True)
+        return pool.astype(jnp.float32)
+
+    return feats
+
+
 def inception_activations(image_encoder, enc_vars, images: np.ndarray,
                           batch_size: int = 32) -> np.ndarray:
     """images (N, H, W, 3) in [-1, 1] -> (N, 2048) pooled features."""
-
-    @jax.jit
-    def feats(x):
-        _, _, pool = image_encoder.apply(enc_vars, x, train=False,
-                                         return_pool=True)
-        return pool
-
+    feats = _feats_fn(image_encoder)
     out = []
     n = images.shape[0]
     for i in range(0, n - n % batch_size, batch_size):
-        out.append(np.asarray(feats(jnp.asarray(images[i:i + batch_size]))))
+        out.append(np.asarray(feats(enc_vars,
+                                    jnp.asarray(images[i:i + batch_size]))))
     rem = n % batch_size
     if rem:
         pad = np.concatenate([images[n - rem:],
                               np.zeros((batch_size - rem,)
                                        + images.shape[1:], images.dtype)])
-        out.append(np.asarray(feats(jnp.asarray(pad)))[:rem])
+        out.append(np.asarray(feats(enc_vars, jnp.asarray(pad)))[:rem])
     return np.concatenate(out, axis=0)
 
 
@@ -84,9 +97,9 @@ def load_inception_fc(path: str):
             np.asarray(sd["fc.bias"], np.float32))
 
 
-def inception_score(image_encoder, enc_vars, images: np.ndarray,
+def inception_score(image_encoder, enc_vars, images: np.ndarray = None,
                     batch_size: int = 32, splits: int = 10,
-                    fc=None) -> tuple[float, float]:
+                    fc=None, acts: np.ndarray = None) -> tuple[float, float]:
     """IS = exp(E_x KL(p(y|x) || p(y))) (Salimans et al. 2016) over the
     1000-class Inception-v3 head on the 2048-d pooled features.
 
@@ -100,8 +113,9 @@ def inception_score(image_encoder, enc_vars, images: np.ndarray,
     """
     import os
 
-    acts = inception_activations(image_encoder, enc_vars, images,
-                                 batch_size)
+    if acts is None:
+        acts = inception_activations(image_encoder, enc_vars, images,
+                                     batch_size)
     if fc is None:
         env = os.environ.get("INCEPTION_V3_WEIGHTS", "")
         if env and os.path.exists(env):
