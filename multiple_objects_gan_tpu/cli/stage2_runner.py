@@ -39,7 +39,7 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
         s2_cfg, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
         condition_dim=int(cfg.GAN.CONDITION_DIM),
         d_cond_dim=int(cfg.GAN.CONDITION_DIM))
-    r_num = int(cfg.GAN.get("R_NUM", 2)) if hasattr(cfg.GAN, "get") else 2
+    r_num = int(cfg.GAN.R_NUM)
 
     g1 = Stage1G(s1_cfg)
     g2 = Stage2G(s2_cfg, r_num=r_num)

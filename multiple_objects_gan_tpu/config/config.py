@@ -195,7 +195,10 @@ def stage1_model_config(cfg: Config, variant: str):
     import dataclasses
     kw: dict[str, Any] = dict(
         z_dim=cfg.Z_DIM, gf_dim=cfg.GAN.GF_DIM, df_dim=cfg.GAN.DF_DIM,
-        use_bbox_layout=cfg.USE_BBOX_LAYOUT)
+        # the clevr reference also honors USE_BBOX_LAYOUT_S1
+        # (code/clevr/model.py:126, `USE_BBOX_LAYOUT or USE_BBOX_LAYOUT_S1`)
+        use_bbox_layout=bool(cfg.USE_BBOX_LAYOUT
+                             or cfg.get("USE_BBOX_LAYOUT_S1", False)))
     if variant != "multi-mnist":
         kw["condition_dim"] = cfg.GAN.CONDITION_DIM
     if variant == "coco-stackgan":

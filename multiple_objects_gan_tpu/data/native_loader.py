@@ -71,6 +71,10 @@ def decode_batch(paths: list[str], out_h: int, out_w: int, out_c: int,
     directly. Uses the C++ thread pool when available."""
     n = len(paths)
     dtype = np.dtype(dtype)
+    if dtype not in (np.dtype(np.uint8), np.dtype(np.float32)):
+        # the native entry points write exactly 1-byte or 4-byte pixels;
+        # any other dtype would reinterpret the buffer silently
+        raise ValueError(f"decode_batch supports uint8/float32, got {dtype}")
     out = np.empty((n, out_h, out_w, out_c), dtype)
     # more workers than cores just thrash (bench hosts can have 1 core)
     threads = max(1, min(threads, os.cpu_count() or 1, n))

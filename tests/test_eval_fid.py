@@ -1,8 +1,8 @@
 """Tests for tools/eval_fid.py (standalone dir-vs-dir FID/IS).
 
-The image-dir loader and CLI wiring are pinned here with the Inception
-passes stubbed out (the real FID math is covered by tests/test_utils.py
-on utils/metrics; the full CNNEncoder is exercised by
+The streaming dir->activations loader and CLI wiring are pinned here with
+the Inception passes stubbed out (the real FID math is covered by
+tests/test_utils.py on utils/metrics; the full CNNEncoder is exercised by
 tests/test_cnn_encoder_parity.py — no need to recompile it here).
 """
 
@@ -30,7 +30,7 @@ def _write_images(d, n, size=32, seed=0):
                         ).save(os.path.join(d, f"im_{i:03d}.png"))
 
 
-def test_load_image_dir(tmp_path):
+def test_dir_activations_streams_chunks(tmp_path, monkeypatch):
     d = str(tmp_path / "imgs")
     _write_images(d, 5, size=48)
     # also a nested subdir (attngan sampling writes flat, but stackgan
@@ -39,21 +39,32 @@ def test_load_image_dir(tmp_path):
     with open(os.path.join(d, "notes.txt"), "w") as f:
         f.write("skip me")
 
-    out = eval_fid.load_image_dir(d, size=32)
-    assert out.shape == (7, 32, 32, 3)
-    assert out.dtype == np.float32
-    assert out.min() >= -1.0 and out.max() <= 1.0
-    assert out.max() > 0.5  # random uint8 images span the range
+    chunks = []
 
-    limited = eval_fid.load_image_dir(d, size=32, limit=3)
-    assert limited.shape[0] == 3
-    # sorted order -> limit is deterministic
-    np.testing.assert_allclose(limited, out[:3])
+    def fake_acts(enc, enc_vars, images, batch):
+        assert images.dtype == np.float32
+        assert images.min() >= -1.0 and images.max() <= 1.0
+        assert images.max() > 0.5  # random uint8 images span the range
+        chunks.append(images.shape)
+        return images.reshape(images.shape[0], -1)[:, :8].copy()
+
+    import multiple_objects_gan_tpu.utils.metrics as metrics
+    monkeypatch.setattr(metrics, "inception_activations", fake_acts)
+
+    out = eval_fid.dir_activations(None, None, d, size=32, limit=0,
+                                   batch=4, chunk=3)
+    # 7 files in chunks of 3: never more than 3 frames in RAM at once
+    assert chunks == [(3, 32, 32, 3), (3, 32, 32, 3), (1, 32, 32, 3)]
+    assert out.shape == (7, 8)
+
+    files = eval_fid.list_image_files(d)
+    assert len(files) == 7
+    assert eval_fid.list_image_files(d, limit=3) == files[:3]
 
 
-def test_load_image_dir_empty(tmp_path):
+def test_list_image_files_empty(tmp_path):
     with pytest.raises(FileNotFoundError):
-        eval_fid.load_image_dir(str(tmp_path), size=32)
+        eval_fid.list_image_files(str(tmp_path))
 
 
 def test_cli_end_to_end_stubbed(tmp_path, monkeypatch, capsys):
@@ -63,16 +74,26 @@ def test_cli_end_to_end_stubbed(tmp_path, monkeypatch, capsys):
 
     seen = {}
 
-    def fake_fid(enc, enc_vars, reals, fakes, batch):
-        seen["shapes"] = (reals.shape, fakes.shape)
+    def fake_acts(enc, enc_vars, images, batch):
+        return np.full((images.shape[0], 4), float(images.shape[0]),
+                       np.float32)
+
+    def fake_fid(real_acts, fake_acts):
+        seen["shapes"] = (real_acts.shape, fake_acts.shape)
         return 12.5
 
     # stub the heavy passes at their source (main imports them locally,
     # so patching the module attribute before the call is enough)
     import multiple_objects_gan_tpu.utils.metrics as metrics
-    monkeypatch.setattr(metrics, "compute_fid", fake_fid)
-    monkeypatch.setattr(metrics, "inception_score",
-                        lambda enc, v, imgs, b: (3.0, 0.25))
+    monkeypatch.setattr(metrics, "inception_activations", fake_acts)
+    monkeypatch.setattr(metrics, "fid_from_activations", fake_fid)
+
+    def fake_is(enc, v, images=None, batch_size=32, splits=10, fc=None,
+                acts=None):
+        seen["is_acts"] = None if acts is None else acts.shape
+        return (3.0, 0.25)
+
+    monkeypatch.setattr(metrics, "inception_score", fake_is)
 
     class _StubEnc:
         def init(self, rng, img, train):
@@ -84,7 +105,8 @@ def test_cli_end_to_end_stubbed(tmp_path, monkeypatch, capsys):
     out_json = str(tmp_path / "m.json")
     eval_fid.main([real, fake, "--size", "24", "--out", out_json])
 
-    assert seen["shapes"] == ((4, 24, 24, 3), (3, 24, 24, 3))
+    assert seen["shapes"] == ((4, 4), (3, 4))
+    assert seen["is_acts"] == (3, 4)  # IS reuses the fake activations
     with open(out_json) as f:
         result = json.load(f)
     assert result == {"fid": 12.5, "is_mean": 3.0, "is_std": 0.25,

@@ -57,20 +57,23 @@ def bench_variant(name: str, bf16: bool) -> dict:
             if "text_embedding" in batch else None)
     sample = make_sample_fn(mcfg, g)
 
-    def run(z):
-        img = sample(state.g_params, state.g_stats, z, bbox, labels, text)
-        # computed scalar forces real completion when fetched
+    # the sync scalar is computed INSIDE the jit (params as args) — an
+    # eager jnp.sum in the timed loop would add tunnel round-trips per
+    # iteration on the axon backend and inflate ms_per_batch
+    @jax.jit
+    def run(g_params, g_stats, z):
+        img = sample(g_params, g_stats, z, bbox, labels, text)
         return img, jnp.sum(img[0, 0, 0])
 
     zs = [jax.random.normal(jax.random.fold_in(rng, i), (bs, mcfg.z_dim))
           for i in range(8)]
     for z in zs[:2]:
-        _, s = run(z)
+        _, s = run(state.g_params, state.g_stats, z)
     float(s)
     n = 40
     t0 = time.perf_counter()
     for i in range(n):
-        _, s = run(zs[i % len(zs)])
+        _, s = run(state.g_params, state.g_stats, zs[i % len(zs)])
     float(s)
     dt = (time.perf_counter() - t0) / n
     return {"variant": name, "batch": bs, "bf16": bf16,

@@ -33,11 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
-def load_image_dir(path: str, size: int, limit: int = 0) -> np.ndarray:
-    """All images under ``path`` (recursive, sorted) -> (N, size, size, 3)
-    f32 in [-1, 1] (bilinear resize; the encoder re-resizes to 299)."""
-    from PIL import Image
-
+def list_image_files(path: str, limit: int = 0) -> list:
     files = sorted(
         os.path.join(r, f)
         for r, _, fs in os.walk(path) for f in fs
@@ -46,13 +42,30 @@ def load_image_dir(path: str, size: int, limit: int = 0) -> np.ndarray:
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images under {path}")
-    out = np.empty((len(files), size, size, 3), np.float32)
-    for i, f in enumerate(files):
-        img = Image.open(f).convert("RGB")
-        if img.size != (size, size):
-            img = img.resize((size, size), Image.BILINEAR)
-        out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
-    return out
+    return files
+
+
+def dir_activations(enc, enc_vars, path: str, size: int, limit: int,
+                    batch: int, chunk: int = 512) -> np.ndarray:
+    """Stream a directory into (N, 2048) Inception activations — at most
+    ``chunk`` f32 frames live at once (a 30k-image 256px dir is ~24 GB as
+    f32; the pooled features are ~250 MB)."""
+    from PIL import Image
+
+    from multiple_objects_gan_tpu.utils.metrics import inception_activations
+
+    files = list_image_files(path, limit)
+    acts = []
+    for start in range(0, len(files), chunk):
+        part = files[start:start + chunk]
+        arr = np.empty((len(part), size, size, 3), np.float32)
+        for i, f in enumerate(part):
+            img = Image.open(f).convert("RGB")
+            if img.size != (size, size):
+                img = img.resize((size, size), Image.BILINEAR)
+            arr[i] = np.asarray(img, np.float32) / 127.5 - 1.0
+        acts.append(inception_activations(enc, enc_vars, arr, batch))
+    return np.concatenate(acts, axis=0)
 
 
 def main(argv=None):
@@ -73,10 +86,7 @@ def main(argv=None):
 
     from multiple_objects_gan_tpu.nn.encoders import CNNEncoder
     from multiple_objects_gan_tpu.utils.metrics import (
-        compute_fid, inception_score)
-
-    reals = load_image_dir(args.real_dir, args.size, args.limit)
-    fakes = load_image_dir(args.fake_dir, args.size, args.limit)
+        fid_from_activations, inception_score)
 
     enc = CNNEncoder(nef=256)
     img = np.zeros((2, args.size, args.size, 3), np.float32)
@@ -91,11 +101,18 @@ def main(argv=None):
         print("WARNING: --image_encoder unset — random Inception backbone; "
               "FID comparable only within this configuration", flush=True)
 
-    fid = compute_fid(enc, enc_vars, reals, fakes, args.batch)
-    is_mean, is_std = inception_score(enc, enc_vars, fakes, args.batch)
+    real_acts = dir_activations(enc, enc_vars, args.real_dir, args.size,
+                                args.limit, args.batch)
+    fake_acts = dir_activations(enc, enc_vars, args.fake_dir, args.size,
+                                args.limit, args.batch)
+    fid = fid_from_activations(real_acts, fake_acts)
+    # IS reuses the fake activations — no second encoder pass
+    is_mean, is_std = inception_score(enc, enc_vars, acts=fake_acts,
+                                      batch_size=args.batch)
     result = {"fid": round(fid, 4), "is_mean": round(is_mean, 4),
-              "is_std": round(is_std, 4), "n_real": int(reals.shape[0]),
-              "n_fake": int(fakes.shape[0])}
+              "is_std": round(is_std, 4),
+              "n_real": int(real_acts.shape[0]),
+              "n_fake": int(fake_acts.shape[0])}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

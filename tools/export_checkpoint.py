@@ -89,7 +89,7 @@ def export_stage2(args) -> None:
         COCO_S2, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
         condition_dim=int(cfg.GAN.CONDITION_DIM),
         d_cond_dim=int(cfg.GAN.CONDITION_DIM))
-    r_num = int(cfg.GAN.get("R_NUM", 2)) if hasattr(cfg.GAN, "get") else 2
+    r_num = int(cfg.GAN.R_NUM)
     state = create_state_stage2(s2_cfg, Stage2G(s2_cfg, r_num=r_num),
                                 Stage2D(s2_cfg), jax.random.PRNGKey(0),
                                 batch_size=2)

@@ -46,6 +46,9 @@ def main(argv=None):
     state = create_state(cfg, g, Stage1D(cfg), rng, batch_size=2)
     g_params, g_stats = state.g_params, state.g_stats
 
+    if args.net_g and not os.path.exists(args.net_g):
+        sys.exit(f"--net_g {args.net_g!r} not found — refusing to export "
+                 "randomly initialized weights")
     if args.net_g and os.path.isfile(args.net_g):
         from multiple_objects_gan_tpu.io.torch_import import (
             import_stage1_g, load_torch_checkpoint)

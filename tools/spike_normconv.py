@@ -119,8 +119,7 @@ def normconv(x_raw, mean, var, gamma, beta, w3x3, *, tile_b: int = 8,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, h + 2, wd + 2, cin),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin), lambda i: (0, 0),

@@ -59,7 +59,12 @@ def _separation(imgs: np.ndarray, bbox: np.ndarray) -> tuple[float, float]:
     return float(lum[inside].mean()), float(lum[~inside].mean())
 
 
-def _random_layouts(b: int, o: int, label_dim: int, seed: int):
+def _random_layouts(b: int, o: int, label_dim: int, seed: int,
+                    n_classes: int = 0):
+    """n_classes: how many leading label slots are REAL classes — mnist
+    has no pad class (all 10 digits train), clevr/coco reserve the last
+    slot for pads, so the default is label_dim - 1."""
+    n_classes = n_classes or label_dim - 1
     rs = np.random.RandomState(seed)
     bbox = np.full((b, o, 4), -1.0, np.float32)
     labels = np.zeros((b, o, label_dim), np.float32)
@@ -68,7 +73,7 @@ def _random_layouts(b: int, o: int, label_dim: int, seed: int):
         for j in range(n_obj):
             w, h = rs.uniform(0.25, 0.4, 2)
             bbox[i, j] = [rs.uniform(0, 1 - w), rs.uniform(0, 1 - h), w, h]
-            labels[i, j, rs.randint(0, label_dim - 1)] = 1.0
+            labels[i, j, rs.randint(0, n_classes)] = 1.0
     return bbox, labels, rs
 
 
@@ -93,8 +98,9 @@ def _generate_stage1(cfg_file, cfg_variant, out_dir, seed):
     print(f"restored epoch {epoch}", flush=True)
 
     b = 32
-    bbox, labels, rs = _random_layouts(b, mcfg.num_objects, mcfg.label_dim,
-                                       seed + 1)
+    bbox, labels, rs = _random_layouts(
+        b, mcfg.num_objects, mcfg.label_dim, seed + 1,
+        n_classes=mcfg.label_dim if cfg_variant == "multi-mnist" else 0)
     text = (jnp.asarray(rs.randn(b, mcfg.text_dim).astype(np.float32))
             if mcfg.use_ca else None)
     z = jax.random.normal(rng, (b, mcfg.z_dim))
@@ -131,7 +137,7 @@ def _generate_stage2(cfg_file, out_dir, seed):
         COCO_S2, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
         condition_dim=int(cfg.GAN.CONDITION_DIM),
         d_cond_dim=int(cfg.GAN.CONDITION_DIM))
-    r_num = int(cfg.GAN.get("R_NUM", 2)) if hasattr(cfg.GAN, "get") else 2
+    r_num = int(cfg.GAN.R_NUM)
     g1, g2, d2 = Stage1G(s1_cfg), Stage2G(s2_cfg, r_num=r_num), \
         Stage2D(s2_cfg)
     rng = jax.random.PRNGKey(seed)
