@@ -8,7 +8,7 @@ the deployment-shaped counterpart for TPU:
   shapes — XLA compiles once, every request reuses it),
 - a micro-batcher that coalesces concurrent HTTP requests into padded
   device batches (TPU serving throughput comes from batch occupancy:
-  tools/bench_sampling.py measures ~38k img/s at bs 128 vs ~300 img/s
+  tools/bench_sampling.py measures ~45k img/s at bs 128 vs ~300 img/s
   at bs 1 for mnist — the batcher is what closes that gap under
   concurrent load),
 - weights live on device once and enter the jit as ARGUMENTS (the
