@@ -38,8 +38,11 @@ jax.config.update("jax_enable_x64", False)
 # objects. A run-local dir gets those hits with zero cross-host
 # staleness risk (a SHARED CPU cache dir SIGABRTs on host changes — see
 # CLAUDE.md; that is why this is NOT ~/.cache).
-jax.config.update("jax_compilation_cache_dir",
-                  tempfile.mkdtemp(prefix="jax_test_cache_"))
+_cache_dir = tempfile.mkdtemp(prefix="jax_test_cache_")
+import atexit
+import shutil
+atexit.register(shutil.rmtree, _cache_dir, True)  # don't leak /tmp dirs
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

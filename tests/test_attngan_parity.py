@@ -272,6 +272,29 @@ class AttnD64Torch(tnn.Module):
         return cond, uncond
 
 
+def _overlay_variables(module, init_args, params, stats):
+    """Init to discover the full variable tree (heads the feature-forward
+    tests don't map), then overlay the imported leaves."""
+    import copy
+
+    variables = module.init(jax.random.PRNGKey(0), *init_args, train=False)
+    full_p = copy.deepcopy(dict(jax.tree.map(np.asarray,
+                                             variables["params"])))
+    full_s = copy.deepcopy(dict(jax.tree.map(np.asarray,
+                                             variables["batch_stats"])))
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = v
+
+    overlay(full_p, params)
+    overlay(full_s, stats)
+    return {"params": full_p, "batch_stats": full_s}
+
+
 def _bn_split(sd, prefix):
     return ({"scale": sd[f"{prefix}.weight"].numpy(),
              "bias": sd[f"{prefix}.bias"].numpy()},
@@ -396,21 +419,9 @@ def test_attngan_d128_forward_parity():
     d = DNetScale(DCFG, scale=128, b_jcu=False)
     # b_jcu=False drops the uncond head; the cond head params are unused in
     # the feature forward, so init to discover the full tree then overlay
-    variables = d.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1, 128, 128, 3)), train=False)
-    import copy
-    full_p = copy.deepcopy(dict(jax.tree.map(np.asarray, variables["params"])))
-    full_s = copy.deepcopy(dict(jax.tree.map(np.asarray,
-                                             variables["batch_stats"])))
-    def overlay(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict):
-                overlay(dst[k], v)
-            else:
-                dst[k] = v
-    overlay(full_p, params)
-    overlay(full_s, stats)
-    got = d.apply({"params": full_p, "batch_stats": full_s},
+    variables = _overlay_variables(d, (jnp.zeros((1, 128, 128, 3)),),
+                                   params, stats)
+    got = d.apply(variables,
                   jnp.asarray(img.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=3e-4)
@@ -486,21 +497,9 @@ def test_attngan_d256_forward_parity():
         stats[name] = {"TorchBatchNorm_0": s}
 
     d = DNetScale(DCFG, scale=256, b_jcu=False)
-    variables = d.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1, 256, 256, 3)), train=False)
-    import copy
-    full_p = copy.deepcopy(dict(jax.tree.map(np.asarray, variables["params"])))
-    full_s = copy.deepcopy(dict(jax.tree.map(np.asarray,
-                                             variables["batch_stats"])))
-    def overlay(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict):
-                overlay(dst[k], v)
-            else:
-                dst[k] = v
-    overlay(full_p, params)
-    overlay(full_s, stats)
-    got = d.apply({"params": full_p, "batch_stats": full_s},
+    variables = _overlay_variables(d, (jnp.zeros((1, 256, 256, 3)),),
+                                   params, stats)
+    got = d.apply(variables,
                   jnp.asarray(img.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=3e-4)

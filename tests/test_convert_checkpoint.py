@@ -21,7 +21,7 @@ from multiple_objects_gan_tpu.models import common
 from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
 from multiple_objects_gan_tpu.train.step import create_state
 
-from tests.test_torch_parity import (  # noqa: E402
+from test_torch_parity import (  # noqa: E402
     MCFG, NDF, Stage1DTorch, Stage1GTorch, _randomize)
 
 

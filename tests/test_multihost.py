@@ -59,11 +59,17 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(m0[k], m1[k], atol=1e-6, err_msg=k)
     assert all(np.isfinite(v) for v in m0.values())
 
-    # Loader shards: disjoint, equal length, drawn from the same order
+    # Loader shards: disjoint, equal length, and exactly the strided
+    # slices of the SAME seeded shuffled order (a rank-dependent shuffle
+    # seed would silently train on overlapping/biased subsets)
     flat0 = [i for b in rows0 for i in b]
     flat1 = [i for b in rows1 for i in b]
     assert len(flat0) == len(flat1) == 4          # 10 rows // 2 procs // bs 2
     assert not set(flat0) & set(flat1)
+    order = np.arange(10)
+    np.random.RandomState(3 + 0).shuffle(order)   # Loader seed=3, epoch 0
+    assert flat0 == order[0::2][:4].tolist()
+    assert flat1 == order[1::2][:4].tolist()
 
     # single-process oracle on the identical global batch
     import jax

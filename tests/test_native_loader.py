@@ -65,7 +65,6 @@ def test_resize_matches_two_tap_bilinear(images):
     want = np.empty((24, 24, 3), np.float32)
     for oy in range(24):
         fy = (oy + 0.5) * h / 24 - 0.5
-        y0 = max(int(np.floor(fy)), 0) if fy >= 0 else 0
         y0 = min(int(fy) if fy >= 0 else 0, h - 1)
         y1 = min(y0 + 1, h - 1)
         wy = max(fy - y0, 0.0)

@@ -79,18 +79,20 @@ def test_train_step_runs_and_updates(cfg):
     step_fn = jax.jit(make_train_step(cfg, g, d))
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, 4).items()}
 
-    m0 = None
+    g0 = np.asarray(jax.tree.leaves(state.g_params)[0]).copy()
+    d0 = np.asarray(jax.tree.leaves(state.d_params)[0]).copy()
     for i in range(2):
         state, metrics = step_fn(state, batch, rng,
                                  jnp.float32(2e-4), jnp.float32(2e-4))
-        if m0 is None:
-            m0 = metrics
     assert int(state.step) == 2
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
-    # params actually moved
-    leaf0 = jax.tree.leaves(state.g_params)[0]
-    assert np.abs(np.asarray(leaf0)).sum() > 0
+    # params actually moved from their pre-step values (a zero-gradient
+    # regression must fail here)
+    assert np.abs(np.asarray(jax.tree.leaves(state.g_params)[0])
+                  - g0).max() > 0
+    assert np.abs(np.asarray(jax.tree.leaves(state.d_params)[0])
+                  - d0).max() > 0
 
 
 def test_losses_decrease_over_steps_mnist():

@@ -123,7 +123,6 @@ def test_mnist_g_forward_parity_with_torch_replica():
                      rng.uniform(0.2, 0.4, (b, 3)),
                      rng.uniform(0.2, 0.4, (b, 3))], axis=-1).astype(np.float32)
     onehot = np.zeros((b, 3, 10), np.float32)
-    onehot[:, :, [1, 4, 7]] = np.eye(3)[None] @ np.eye(3)[None] * 0  # zero
     for i in range(b):
         for j in range(3):
             onehot[i, j, rng.randint(10)] = 1.0

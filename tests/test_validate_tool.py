@@ -32,17 +32,18 @@ def test_separation_bright_inside():
 
 
 def test_separation_ignores_padded_boxes():
-    # padded (-1) boxes must not contribute an "inside" region
-    imgs = np.full((2, 16, 16, 3), 0.25, np.float32)
+    # padded (-1) boxes must not contribute an "inside" region: image 0
+    # carries a bright box, image 1 (all boxes padded) is all dark — if
+    # padded boxes leaked into the mask, image 1's dark pixels would pull
+    # in_box below 1.0; if image 0's box leaked onto image 1, out_box
+    # would rise above the dark value
+    imgs = np.full((2, 16, 16, 3), -1.0, np.float32)
+    imgs[0, 4:12, 4:12, :] = 1.0           # exactly box [0.25,0.25,0.5,0.5]
     bbox = np.full((2, 4, 4), -1.0, np.float32)
     bbox[0, 0] = [0.25, 0.25, 0.5, 0.5]
     in_box, out_box = _separation(imgs, bbox)
-    assert np.isclose(in_box, 0.25) and np.isclose(out_box, 0.25)
-    # the inside mask covers only image 0's box: 8x8 of 2*16*16 pixels
-    size = 16
-    n_inside = (int(0.75 * size) - int(0.25 * size)) ** 2
-    lum = imgs.mean(axis=-1)
-    assert lum.size - n_inside == 2 * size * size - n_inside
+    assert np.isclose(in_box, 1.0)
+    assert np.isclose(out_box, -1.0)
 
 
 def test_separation_uniform_image_is_zero():
