@@ -61,8 +61,14 @@ def build_all(cfg, n_words: int):
     return mcfg, g, d_modules, text_enc, image_enc
 
 
-def init_encoders(cfg, text_enc, image_enc, words_num: int, rng):
-    """Init encoder variables; import DAMSM .pth when available."""
+def init_encoders(cfg, text_enc, image_enc, words_num: int, rng,
+                  return_provenance: bool = False):
+    """Init encoder variables; import DAMSM .pth when available.
+
+    With ``return_provenance`` also returns
+    ``{"text_encoder": "imported"|"random", "image_encoder": ...}`` so
+    eval writers can record whether metrics came from real DAMSM weights
+    (eval_metrics.json provenance; VERDICT r2 "weak" #4)."""
     caps = jnp.ones((2, words_num), jnp.int32)
     lens = jnp.full((2,), words_num, jnp.int32)
     text_vars = jax.jit(lambda r: text_enc.init(
@@ -70,23 +76,29 @@ def init_encoders(cfg, text_enc, image_enc, words_num: int, rng):
     img = jnp.zeros((2, 64, 64, 3))
     image_vars = jax.jit(lambda r: image_enc.init(
         r, img, train=False))(rng)
+    prov = {"text_encoder": "random", "image_encoder": "random"}
 
     net_e = cfg.TRAIN.get("NET_E", "") if hasattr(cfg.TRAIN, "get") else ""
     if net_e and os.path.exists(net_e):
         from multiple_objects_gan_tpu.io.damsm_import import (
             import_text_encoder)
         text_vars = import_text_encoder(net_e, text_vars)
+        prov["text_encoder"] = "imported"
         print(f"Load text encoder from: {net_e}", flush=True)
         img_path = net_e.replace("text_encoder", "image_encoder")
         if os.path.exists(img_path):
             from multiple_objects_gan_tpu.io.damsm_import import (
                 import_image_encoder)
             image_vars = import_image_encoder(img_path, image_vars)
+            prov["image_encoder"] = "imported"
             print(f"Load image encoder from: {img_path}", flush=True)
     else:
         print(f"WARNING: NET_E={net_e!r} not found — DAMSM encoders use "
               "random weights", flush=True)
-    return {"text": text_vars, "image": image_vars}
+    enc_vars = {"text": text_vars, "image": image_vars}
+    if return_provenance:
+        return enc_vars, prov
+    return enc_vars
 
 
 def restore_g(cfg, mcfg, g, d_modules, rng, seq_len: int):
@@ -184,8 +196,9 @@ def run(args, cfg, output_dir: str, seed: int):
         words_num=int(cfg.TEXT.WORDS_NUM), seed=seed)
     mcfg, g, d_modules, text_enc, image_enc = build_all(cfg, ds.n_words)
     rng = jax.random.PRNGKey(seed)
-    enc_vars = init_encoders(cfg, text_enc, image_enc,
-                             int(cfg.TEXT.WORDS_NUM), rng)
+    enc_vars, enc_prov = init_encoders(cfg, text_enc, image_enc,
+                                       int(cfg.TEXT.WORDS_NUM), rng,
+                                       return_provenance=True)
 
     if not cfg.TRAIN.FLAG:
         mode = getattr(args, "eval_mode", "auto") or "auto"
@@ -200,7 +213,9 @@ def run(args, cfg, output_dir: str, seed: int):
                           enc_vars, output_dir, seed)
         if mode == "sampling":
             return sampling(args, cfg, ds, mcfg, g, d_modules, text_enc,
-                            image_enc, enc_vars, output_dir, seed)
+                            image_enc, enc_vars, output_dir, seed,
+                            num_images=getattr(args, "num_images", 0) or 0,
+                            enc_prov=enc_prov)
         return run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc,
                                enc_vars, output_dir, seed)
 
@@ -371,13 +386,15 @@ def sample(args, cfg, ds, mcfg, g, d_modules, text_enc, enc_vars,
 
 
 def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
-             enc_vars, output_dir: str, seed: int, num_images: int = 0):
+             enc_vars, output_dir: str, seed: int, num_images: int = 0,
+             enc_prov: dict | None = None):
     """Bulk single-image dump for quantitative eval (trainer.py:387-472),
     then FID + Inception Score against the real test split (the reference
     runs these externally; BASELINE.md makes them in-repo targets)."""
     from multiple_objects_gan_tpu.data.datasets import Loader
     from multiple_objects_gan_tpu.utils.metrics import (
-        fid_from_activations, inception_activations, inception_score)
+        fid_from_activations, inception_activations, inception_score,
+        resolve_inception_fc)
     from PIL import Image
 
     rng = jax.random.PRNGKey(seed)
@@ -470,13 +487,20 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     fake_acts = np.concatenate(fake_acts)
     real_acts = np.concatenate(real_acts)
     fid = fid_from_activations(real_acts, fake_acts)
+    fc, is_head = resolve_inception_fc()
     is_mean, is_std = inception_score(image_enc, enc_vars["image"],
-                                      acts=fake_acts)
+                                      acts=fake_acts, fc=fc)
     print(f"FID: {fid:.3f}  IS: {is_mean:.3f} +/- {is_std:.3f}", flush=True)
     import json
     with open(os.path.join(output_dir, "eval_metrics.json"), "w") as f:
+        # provenance: a consumer must be able to tell a real metric from a
+        # placeholder-weight run (is_head: the 1000-class IS classifier;
+        # fid_encoder: the Inception backbone behind both FID sides)
         json.dump({"fid": fid, "inception_score_mean": is_mean,
-                   "inception_score_std": is_std, "n_images": written}, f)
+                   "inception_score_std": is_std, "n_images": written,
+                   "is_head": is_head,
+                   "fid_encoder": (enc_prov or {}).get(
+                       "image_encoder", "unknown")}, f)
     return out_dir
 
 

@@ -55,6 +55,13 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations (f32 master weights/BN/STN) — "
                         "+25%% measured training throughput on TPU v5e")
+    p.add_argument("--bn_groups", type=int, default=None,
+                   help="train-mode BN statistic groups: 1 = global-batch "
+                        "sync-BN (default), G > 1 = per-replica "
+                        "DataParallel semantics over G contiguous batch "
+                        "chunks (set to the reference run's GPU count to "
+                        "reproduce its BN dynamics; nn/blocks.py "
+                        "BN_GROUPS)")
     p.add_argument("--stochastic_ca", action="store_true",
                    help="reparametrize CA with fresh noise at eval "
                         "(reference eval behavior, stackgan "
@@ -66,6 +73,10 @@ def parse_args(argv=None):
     p.add_argument("--bbox_scale", type=float, default=None,
                    help="layout surgery at sampling: scale every bbox's "
                         "w/h (ref trainer.py:245-253 change_bbox_size)")
+    p.add_argument("--num_images", type=int, default=0,
+                   help="cap the bulk sampling() dump (0 = full test "
+                        "split; the reference dumps 30k, "
+                        "code/coco/attngan/trainer.py:387-472)")
     p.add_argument("--eval_mode", default="auto",
                    choices=["auto", "sample", "sampling", "gen_example"],
                    help="attngan eval path: auto follows the reference "
@@ -101,6 +112,9 @@ def main(argv=None):
 
         from multiple_objects_gan_tpu.nn import blocks
         blocks.set_compute_dtype(jnp.bfloat16)
+    if args.bn_groups is not None:
+        from multiple_objects_gan_tpu.nn import blocks
+        blocks.set_bn_groups(args.bn_groups)
 
     cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
                    "coco-stackgan-1": "coco-stackgan",
@@ -131,8 +145,10 @@ def main(argv=None):
     # main.py:144-151): the reference copies main/trainer/model/utils/
     # datasets + cfg into the output dir so every run is reproducible;
     # here the package sources that define the run are snapshotted.
-    shutil.copyfile(args.cfg_file,
-                    os.path.join(output_dir, os.path.basename(args.cfg_file)))
+    cfg_snapshot = os.path.join(output_dir, os.path.basename(args.cfg_file))
+    if not (os.path.exists(cfg_snapshot)
+            and os.path.samefile(args.cfg_file, cfg_snapshot)):
+        shutil.copyfile(args.cfg_file, cfg_snapshot)
     if cfg.TRAIN.FLAG and not args.resume:
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         snap = os.path.join(output_dir, "src_snapshot")

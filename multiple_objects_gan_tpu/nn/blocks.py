@@ -14,7 +14,9 @@ Parity targets (reference files under /root/reference):
 All modules are NHWC (TPU-native layout). ``train`` is threaded explicitly;
 BatchNorm state lives in the ``batch_stats`` variable collection. Under a
 sharded-batch ``jit`` the batch statistics are computed over the GLOBAL batch
-(sync-BN) — the TPU-idiomatic choice replacing DataParallel's per-replica BN.
+(sync-BN) — the TPU-idiomatic default replacing DataParallel's per-replica
+BN. Reference-faithful per-replica statistics are an opt-in:
+``set_bn_groups(G)`` / ``MOG_BN_GROUPS=G`` (see BN_GROUPS below).
 """
 
 from __future__ import annotations
@@ -52,6 +54,27 @@ def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
     """
     global COMPUTE_DTYPE
     COMPUTE_DTYPE = dtype
+
+
+# Train-mode BatchNorm statistic grouping. 1 = global-batch stats
+# (sync-BN, the TPU-idiomatic default). G > 1 = per-group stats over G
+# contiguous batch chunks — EXACT nn.parallel.data_parallel semantics for
+# a G-GPU reference run (DataParallel scatters the batch contiguously and
+# each replica normalizes with its own stats,
+# code/multi-mnist/trainer.py:42-46; running stats keep only replica 0's
+# update because replica 0 IS the master module). Set G = the reference
+# run's GPU count to reproduce its training dynamics bit-for-bit; under a
+# data-sharded mesh with G = device count the group axis coincides with
+# the shard axis, so each group's stats stay device-local.
+BN_GROUPS: int = int(os.environ.get("MOG_BN_GROUPS", "1") or "1")
+
+
+def set_bn_groups(groups: int) -> None:
+    """Set train-mode BN statistic grouping (read at TRACE time — call
+    before the first jit, like :func:`set_compute_dtype`). 1 = sync-BN;
+    G > 1 = per-replica DataParallel semantics over G batch chunks."""
+    global BN_GROUPS
+    BN_GROUPS = int(groups)
 
 def conv_dt(*args, **kwargs):
     """nn.Conv bound to COMPUTE_DTYPE (param trees unchanged — flax names
@@ -102,6 +125,10 @@ class TorchBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
 
         if train:
+            groups = 1 if self.is_initializing() else BN_GROUPS
+            if groups > 1:
+                return self._train_grouped(x, groups, scale, bias,
+                                           ra_mean, ra_var)
             red = tuple(range(x.ndim - 1))
             n = 1
             for ax in red:
@@ -141,6 +168,92 @@ class TorchBatchNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = (x.astype(jnp.float32) - mean) * inv + bias
         return y.astype(x.dtype)
+
+    def _train_grouped(self, x: Array, groups: int, scale, bias,
+                       ra_mean, ra_var) -> Array:
+        """Per-group train-mode stats (BN_GROUPS > 1): each contiguous
+        batch chunk normalizes with its own mean/var, and the running
+        stats take only group 0's update — exactly DataParallel over
+        `groups` GPUs (the master replica's buffers are the module's).
+
+        Chunk boundaries follow ``torch.chunk`` (what DataParallel's
+        scatter uses): ceil(b/G)-sized chunks with a short tail. The
+        matching-aware "wrong pair" branch routes b-1 rows through D's
+        cond head (trainer.py:42-46 wraps every such call), so uneven
+        batches MUST split exactly as the reference does on G GPUs —
+        e.g. 127 rows over 2 GPUs is 64+63, each with its own stats."""
+        b, c = x.shape[0], x.shape[-1]
+        if b % groups:
+            return self._train_grouped_uneven(x, groups, scale, bias,
+                                              ra_mean, ra_var)
+        xg = x.reshape((groups, b // groups) + x.shape[1:])
+        red = tuple(range(1, xg.ndim - 1))
+        n = 1
+        for ax in red:
+            n *= xg.shape[ax]
+
+        if x.dtype == jnp.bfloat16:
+            mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+            sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red,
+                          keepdims=True)
+            var = sq - jnp.square(mean)
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            y = ((xg - mean.astype(xg.dtype)) * inv.astype(xg.dtype)
+                 + bias.astype(xg.dtype))
+        else:
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red, keepdims=True)
+            var = (jnp.mean(jnp.square(xf), axis=red, keepdims=True)
+                   - jnp.square(mean))
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            y = ((xf - mean) * inv + bias).astype(x.dtype)
+        if not self.is_initializing():
+            m0 = mean[0].reshape((c,))
+            v0 = var[0].reshape((c,)) * (n / max(n - 1, 1))
+            ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                             + self.momentum * m0)
+            ra_var.value = ((1 - self.momentum) * ra_var.value
+                            + self.momentum * v0)
+        return y.reshape(x.shape)
+
+    def _train_grouped_uneven(self, x: Array, groups: int, scale, bias,
+                              ra_mean, ra_var) -> Array:
+        """Non-divisible-batch grouped BN: unrolled trace-time loop over
+        the torch.chunk boundaries (all static — batch sizes are shapes).
+        Rare (only the wrong-pair b-1 branch in practice) and tiny there
+        (4x4 head activations), so the unroll costs nothing measurable."""
+        b, c = x.shape[0], x.shape[-1]
+        s = -(-b // groups)  # torch.chunk: ceil-sized chunks, short tail
+        red = tuple(range(x.ndim - 1))
+        outs, first = [], None
+        for lo in range(0, b, s):
+            xc = x[lo:lo + s]
+            n = xc.shape[0]
+            for ax in red[1:]:
+                n *= xc.shape[ax]
+            if xc.dtype == jnp.bfloat16:
+                mean = jnp.mean(xc, axis=red, dtype=jnp.float32)
+                sq = jnp.mean(jnp.square(xc.astype(jnp.float32)), axis=red)
+                var = sq - jnp.square(mean)
+                inv = jax.lax.rsqrt(var + self.eps) * scale
+                y = ((xc - mean.astype(xc.dtype)) * inv.astype(xc.dtype)
+                     + bias.astype(xc.dtype))
+            else:
+                xf = xc.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+                inv = jax.lax.rsqrt(var + self.eps) * scale
+                y = ((xf - mean) * inv + bias).astype(xc.dtype)
+            outs.append(y)
+            if first is None:
+                first = (mean, var, n)
+        if not self.is_initializing():
+            mean, var, n = first
+            ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                             + self.momentum * mean)
+            ra_var.value = ((1 - self.momentum) * ra_var.value
+                            + self.momentum * var * (n / max(n - 1, 1)))
+        return jnp.concatenate(outs, axis=0)
 
 
 class Conv3x3(nn.Module):

@@ -57,6 +57,18 @@ def make_mesh_for_batch(batch_size: int) -> Mesh:
                 "on a multi-process mesh (no prefix-clamping across hosts)")
         return make_mesh()
     n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    if n < n_dev:
+        lo = (batch_size // n_dev) * n_dev
+        hi = lo + n_dev
+        suggestion = (f"TRAIN.BATCH_SIZE={hi}"
+                      + (f" or {lo}" if lo else ""))
+        import warnings
+        warnings.warn(
+            f"batch size {batch_size} does not divide over the {n_dev} "
+            f"available devices: sharding over {n} device(s), leaving "
+            f"{n_dev - n} idle. For full utilization set {suggestion} "
+            f"(any multiple of {n_dev}).",
+            UserWarning, stacklevel=2)
     return make_mesh(n)
 
 

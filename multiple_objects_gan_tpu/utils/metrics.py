@@ -97,6 +97,30 @@ def load_inception_fc(path: str):
             np.asarray(sd["fc.bias"], np.float32))
 
 
+def resolve_inception_fc(fc=None):
+    """Resolve the IS classifier head and report its provenance.
+
+    Returns ``(fc, provenance)`` where fc is (W (2048, 1000), b (1000,))
+    and provenance is ``"imported"`` (caller-passed weights or
+    $INCEPTION_V3_WEIGHTS) or ``"random"`` (deterministic placeholder head
+    — the IS value is then NOT comparable to published numbers).
+    Downstream eval writers record the provenance in eval_metrics.json so
+    a consumer can tell a real IS from a placeholder."""
+    import os
+
+    if fc is not None:
+        return fc, "imported"
+    env = os.environ.get("INCEPTION_V3_WEIGHTS", "")
+    if env and os.path.exists(env):
+        return load_inception_fc(env), "imported"
+    print("WARNING: no Inception classifier head "
+          "($INCEPTION_V3_WEIGHTS unset) — IS uses a random head; "
+          "value is not comparable to published numbers", flush=True)
+    rng = np.random.RandomState(0)
+    return (rng.randn(2048, 1000).astype(np.float32) * 0.05,
+            np.zeros(1000, np.float32)), "random"
+
+
 def inception_score(image_encoder, enc_vars, images: np.ndarray = None,
                     batch_size: int = 32, splits: int = 10,
                     fc=None, acts: np.ndarray = None) -> tuple[float, float]:
@@ -111,22 +135,10 @@ def inception_score(image_encoder, enc_vars, images: np.ndarray = None,
     deterministic random head is used: the pipeline runs end-to-end but the
     absolute value is NOT comparable to published IS numbers.
     """
-    import os
-
     if acts is None:
         acts = inception_activations(image_encoder, enc_vars, images,
                                      batch_size)
-    if fc is None:
-        env = os.environ.get("INCEPTION_V3_WEIGHTS", "")
-        if env and os.path.exists(env):
-            fc = load_inception_fc(env)
-    if fc is None:
-        print("WARNING: no Inception classifier head "
-              "($INCEPTION_V3_WEIGHTS unset) — IS uses a random head; "
-              "value is not comparable to published numbers", flush=True)
-        rng = np.random.RandomState(0)
-        fc = (rng.randn(acts.shape[1], 1000).astype(np.float32) * 0.05,
-              np.zeros(1000, np.float32))
+    fc, _ = resolve_inception_fc(fc)
     w, b = fc
     logits = acts @ w + b
     logits -= logits.max(axis=1, keepdims=True)

@@ -154,3 +154,8 @@ def test_attngan_sampling_metrics(attn_env):
         m = json.load(f)
     assert set(m) >= {"fid", "inception_score_mean", "inception_score_std"}
     assert m["fid"] >= 0.0 and m["inception_score_mean"] >= 1.0
+    # machine-readable provenance: the test env has no NET_E .pth and no
+    # $INCEPTION_V3_WEIGHTS, so both must say "random" (a real run with
+    # imported DAMSM weights + torchvision head says "imported")
+    assert m["is_head"] == "random"
+    assert m["fid_encoder"] == "random"

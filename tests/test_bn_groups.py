@@ -1,0 +1,148 @@
+"""Per-replica BatchNorm (BN_GROUPS) == nn.parallel.data_parallel oracle.
+
+The reference's multi-GPU runs compute BN statistics per GPU shard
+(DataParallel scatters the batch contiguously; every loss call site wraps
+the forward, code/multi-mnist/trainer.py:42-46). The TPU default is
+global-batch sync-BN (nn/blocks.py header); ``set_bn_groups(G)`` opts into
+the faithful per-replica semantics. DataParallel over G GPUs on batch B is
+EXACTLY: split B into G contiguous chunks, run each chunk independently
+(own BN stats), concat — and the master module keeps only replica 0's
+running-stat update. These tests assert that equivalence directly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiple_objects_gan_tpu.models import common
+from multiple_objects_gan_tpu.models.stage1 import Stage1G
+from multiple_objects_gan_tpu.nn import blocks
+
+
+@pytest.fixture
+def bn_groups_2(monkeypatch):
+    monkeypatch.setattr(blocks, "BN_GROUPS", 2)
+
+
+def test_grouped_bn_matches_split_forward(bn_groups_2):
+    """One grouped layer forward == concat of two independent sync-BN
+    forwards on the contiguous halves; running stats keep only group 0's
+    update (replica 0 is the master module in DataParallel)."""
+    bn = blocks.TorchBatchNorm()
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 4, 4, 3).astype(np.float32) * 2.0 + 0.5
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    y, upd = bn.apply(variables, jnp.asarray(x), train=True,
+                      mutable=["batch_stats"])
+
+    halves, stats_halves = [], []
+    for h in (x[:4], x[4:]):
+        yh, uh = _sync_bn_apply(variables, h)
+        halves.append(yh)
+        stats_halves.append(uh)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.concatenate(halves), atol=1e-5)
+    # running stats == group 0's (first half's) sync-BN update
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"][k]),
+            np.asarray(stats_halves[0]["batch_stats"][k]), atol=1e-6)
+        with pytest.raises(AssertionError):
+            np.testing.assert_allclose(
+                np.asarray(upd["batch_stats"][k]),
+                np.asarray(stats_halves[1]["batch_stats"][k]), atol=1e-6)
+
+
+def _sync_bn_apply(variables, x):
+    """Reference single-replica forward: sync-BN over exactly this chunk."""
+    bn = blocks.TorchBatchNorm()
+    prev = blocks.BN_GROUPS
+    blocks.BN_GROUPS = 1
+    try:
+        return bn.apply(variables, jnp.asarray(x), train=True,
+                        mutable=["batch_stats"])
+    finally:
+        blocks.BN_GROUPS = prev
+
+
+def test_grouped_bn_model_level_dataparallel_oracle(bn_groups_2):
+    """Full Stage1G TRAIN forward with BN_GROUPS=2 == concatenating two
+    independent half-batch forwards (each with its own BN stats) — the
+    exact output DataParallel over 2 GPUs would gather. Running stats
+    match the first half's forward."""
+    cfg = dataclasses.replace(common.MNIST, gf_dim=8, df_dim=4)
+    g = Stage1G(cfg)
+    rng = np.random.RandomState(1)
+    b, o = 4, cfg.num_objects
+    z = rng.randn(b, cfg.z_dim).astype(np.float32)
+    bbox = np.stack([rng.uniform(0.1, 0.5, (b, o)),
+                     rng.uniform(0.1, 0.5, (b, o)),
+                     rng.uniform(0.2, 0.4, (b, o)),
+                     rng.uniform(0.2, 0.4, (b, o))], -1).astype(np.float32)
+    labels = np.zeros((b, o, cfg.label_dim), np.float32)
+    labels[:, :, 2] = 1.0
+
+    prev = blocks.BN_GROUPS
+    blocks.BN_GROUPS = 1
+    try:
+        variables = g.init(jax.random.PRNGKey(3), jnp.asarray(z),
+                           jnp.asarray(bbox), jnp.asarray(labels), None,
+                           train=True, ca_rng=None)
+    finally:
+        blocks.BN_GROUPS = prev
+
+    out_g, upd_g = g.apply(variables, jnp.asarray(z), jnp.asarray(bbox),
+                           jnp.asarray(labels), None, train=True,
+                           ca_rng=None, mutable=["batch_stats"])
+
+    halves, stat_updates = [], []
+    prev = blocks.BN_GROUPS
+    blocks.BN_GROUPS = 1
+    try:
+        for sl in (slice(0, 2), slice(2, 4)):
+            out_h, upd_h = g.apply(
+                variables, jnp.asarray(z[sl]), jnp.asarray(bbox[sl]),
+                jnp.asarray(labels[sl]), None, train=True, ca_rng=None,
+                mutable=["batch_stats"])
+            halves.append(np.asarray(out_h["img"]))
+            stat_updates.append(upd_h["batch_stats"])
+    finally:
+        blocks.BN_GROUPS = prev
+
+    np.testing.assert_allclose(np.asarray(out_g["img"]),
+                               np.concatenate(halves), atol=2e-5)
+    want = jax.tree.leaves(stat_updates[0])
+    got = jax.tree.leaves(upd_g["batch_stats"])
+    assert len(want) == len(got) and want
+    for a, c in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_grouped_bn_uneven_batch_matches_torch_chunk(bn_groups_2):
+    """Non-divisible batches hit the uneven path — e.g. the matching-aware
+    wrong-pair branch routes b-1 rows through D's cond head BN. torch.chunk
+    (DataParallel's scatter) splits 5 rows over 2 GPUs as 3+2; each chunk
+    gets its own stats and running stats keep chunk 0's update."""
+    bn = blocks.TorchBatchNorm()
+    rng = np.random.RandomState(2)
+    x = rng.randn(5, 4, 4, 3).astype(np.float32) * 1.5 - 0.2
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    y, upd = bn.apply(variables, jnp.asarray(x), train=True,
+                      mutable=["batch_stats"])
+
+    chunks, stats = [], []
+    for h in (x[:3], x[3:]):  # torch.chunk(5, 2) -> sizes (3, 2)
+        yh, uh = _sync_bn_apply(variables, h)
+        chunks.append(yh)
+        stats.append(uh)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.concatenate(chunks), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"][k]),
+            np.asarray(stats[0]["batch_stats"][k]), atol=1e-6)

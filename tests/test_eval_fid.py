@@ -110,6 +110,9 @@ def test_cli_end_to_end_stubbed(tmp_path, monkeypatch, capsys):
     with open(out_json) as f:
         result = json.load(f)
     assert result == {"fid": 12.5, "is_mean": 3.0, "is_std": 0.25,
-                      "n_real": 4, "n_fake": 3}
+                      "n_real": 4, "n_fake": 3,
+                      # provenance: no --image_encoder and no
+                      # $INCEPTION_V3_WEIGHTS in the test env
+                      "is_head": "random", "fid_encoder": "random"}
     last = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(last) == result

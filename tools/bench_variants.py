@@ -24,6 +24,39 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# v5e peaks for MFU / roofline attribution (see bench.py):
+V5E_PEAK_FLOPS = 197e12   # bf16 TFLOP/s
+V5E_HBM_BPS = 819e9       # HBM bandwidth, bytes/s
+
+
+def _cost_analysis(jitted, *args):
+    """XLA's own FLOP + bytes-accessed count for one compiled step."""
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return (float(cost.get("flops", 0.0)),
+            float(cost.get("bytes accessed", 0.0)))
+
+
+def _roofline(result: dict, flops: float, bytes_acc: float,
+              dt: float) -> dict:
+    """Attach MFU + HBM utilization and which roof binds the step.
+
+    mfu = achieved FLOP rate / MXU peak; hbm_util = achieved
+    bytes-accessed rate / HBM peak (bytes-accessed includes on-chip
+    reuse XLA counts, so >1.0 readings mean fusion hit cache, not a
+    timing bug). The larger of the two is the binding roof."""
+    mfu = flops / dt / V5E_PEAK_FLOPS
+    hbm = bytes_acc / dt / V5E_HBM_BPS
+    result.update({
+        "tflops_per_step": round(flops / 1e12, 4),
+        "gbytes_per_step": round(bytes_acc / 1e9, 3),
+        "mfu": round(mfu, 4),
+        "hbm_util": round(hbm, 4),
+        "bound": "hbm" if hbm > mfu else "mxu",
+    })
+    return result
+
 
 def _sync_time(step, args, n=20, warmup=2, sync_key=None):
     for _ in range(warmup):
@@ -52,11 +85,13 @@ def _bench_stage1(cfg, name, bs):
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, bs).items()}
     step = jax.jit(make_train_step(cfg, g, d), donate_argnums=(0,))
     lr = jnp.float32(2e-4)
+    flops, bytes_acc = _cost_analysis(step, state, batch, rng, lr, lr)
     dt = _sync_time(lambda s: step(s, batch, rng, lr, lr), (state,),
                     sync_key="d_loss")
-    return {"variant": name, "batch": bs,
-            "step_ms": round(dt * 1000, 2),
-            "img_per_sec": round(bs / dt, 1)}
+    return _roofline({"variant": name, "batch": bs,
+                      "step_ms": round(dt * 1000, 2),
+                      "img_per_sec": round(bs / dt, 1)},
+                     flops, bytes_acc, dt)
 
 
 def bench_mnist():
@@ -110,11 +145,14 @@ def bench_stage2():
             rs.randn(bs, s1_cfg.text_dim).astype(np.float32)),
     }
     lr = jnp.float32(2e-4)
+    flops, bytes_acc = _cost_analysis(step, state, s1_vars, batch, rng,
+                                      lr, lr)
     dt = _sync_time(lambda s: step(s, s1_vars, batch, rng, lr, lr),
                     (state,))
-    return {"variant": "coco-stackgan-2", "batch": bs,
-            "step_ms": round(dt * 1000, 2),
-            "img_per_sec": round(bs / dt, 1)}
+    return _roofline({"variant": "coco-stackgan-2", "batch": bs,
+                      "step_ms": round(dt * 1000, 2),
+                      "img_per_sec": round(bs / dt, 1)},
+                     flops, bytes_acc, dt)
 
 
 def bench_attngan():
@@ -165,11 +203,14 @@ def bench_attngan():
         "class_ids": jnp.arange(bs, dtype=jnp.int32),
     }
     lr = jnp.float32(2e-4)
+    flops, bytes_acc = _cost_analysis(step, state, enc_vars, batch, rng,
+                                      lr, lr)
     dt = _sync_time(lambda s: step(s, enc_vars, batch, rng, lr, lr),
                     (state,), sync_key="d_loss_d64")
-    return {"variant": "coco-attngan", "batch": bs,
-            "step_ms": round(dt * 1000, 2),
-            "img_per_sec": round(bs / dt, 1)}
+    return _roofline({"variant": "coco-attngan", "batch": bs,
+                      "step_ms": round(dt * 1000, 2),
+                      "img_per_sec": round(bs / dt, 1)},
+                     flops, bytes_acc, dt)
 
 
 BENCHES = {"mnist": bench_mnist, "clevr": bench_clevr,

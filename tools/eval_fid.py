@@ -12,7 +12,8 @@ $INCEPTION_V3_WEIGHTS at a torchvision inception_v3 state_dict (the
 classifier head; utils/metrics.inception_score docstring).
 
 Prints ONE JSON line:
-  {"fid": F, "is_mean": M, "is_std": S, "n_real": NR, "n_fake": NF}
+  {"fid": F, "is_mean": M, "is_std": S, "n_real": NR, "n_fake": NF,
+   "is_head": "imported"|"random", "fid_encoder": "imported"|"random"}
 
 Usage: python tools/eval_fid.py REAL_DIR FAKE_DIR
            [--image_encoder damsm_image_encoder.pth] [--size 256]
@@ -86,7 +87,7 @@ def main(argv=None):
 
     from multiple_objects_gan_tpu.nn.encoders import CNNEncoder
     from multiple_objects_gan_tpu.utils.metrics import (
-        fid_from_activations, inception_score)
+        fid_from_activations, inception_score, resolve_inception_fc)
 
     enc = CNNEncoder(nef=256)
     img = np.zeros((2, args.size, args.size, 3), np.float32)
@@ -107,12 +108,16 @@ def main(argv=None):
                                 args.limit, args.batch)
     fid = fid_from_activations(real_acts, fake_acts)
     # IS reuses the fake activations — no second encoder pass
+    fc, is_head = resolve_inception_fc()
     is_mean, is_std = inception_score(enc, enc_vars, acts=fake_acts,
-                                      batch_size=args.batch)
+                                      batch_size=args.batch, fc=fc)
     result = {"fid": round(fid, 4), "is_mean": round(is_mean, 4),
               "is_std": round(is_std, 4),
               "n_real": int(real_acts.shape[0]),
-              "n_fake": int(fake_acts.shape[0])}
+              "n_fake": int(fake_acts.shape[0]),
+              "is_head": is_head,
+              "fid_encoder": ("imported" if args.image_encoder
+                              else "random")}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -6,7 +6,12 @@ The synthetic datasets draw bright label-colored objects at the bbox
 locations on dark backgrounds (data/*.py writers), so a G that learned
 the conditioning puts high intensity in-box and low intensity out-of-box.
 Prints one JSON line: {"variant", "epochs", "in_box", "out_box",
-"separation"} — separation = in_box - out_box on the [-1, 1] scale.
+"separation", "fid_trend", "fid_decreasing"} — separation = in_box -
+out_box on the [-1, 1] scale; fid_trend = [[epoch, FID]] measured at
+random init, the halfway checkpoint, and the final checkpoint against the
+synthetic real split (deterministic random-init Inception backbone:
+absolute values self-comparable only; the requirement is the TREND —
+training must reduce FID, not just move mass into boxes).
 Reference values measured with THIS tool on the real TPU (bf16,
 default sizes/epochs): mnist 0.57, clevr 0.60, coco-stackgan-1 0.69,
 coco-stackgan-2 (256px, random frozen stage-1) see ROADMAP; anything
@@ -59,6 +64,53 @@ def _separation(imgs: np.ndarray, bbox: np.ndarray) -> tuple[float, float]:
     return float(lum[inside].mean()), float(lum[~inside].mean())
 
 
+def _load_real_images(paths: list, size: int, limit: int = 128) -> np.ndarray:
+    """Real side of the FID trend: the synthetic training images
+    themselves, resized to the generator's output size, in [-1, 1]."""
+    from PIL import Image
+
+    out = []
+    for p in sorted(paths)[:limit]:
+        img = Image.open(p).convert("RGB")
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    if not out:
+        raise FileNotFoundError("no real images found for the FID trend")
+    return np.stack(out)
+
+
+def _glob_images(*dirs) -> list:
+    exts = (".png", ".jpg", ".jpeg")
+    files = []
+    for d in dirs:
+        if os.path.isdir(d):
+            files += [os.path.join(r, f) for r, _, fs in os.walk(d)
+                      for f in fs if f.lower().endswith(exts)]
+    return files
+
+
+def _fid(real: np.ndarray, fake: np.ndarray, batch: int = 16) -> float:
+    """FID with a deterministic random-init Inception backbone: absolute
+    values are only self-comparable, which is all a TREND check needs
+    (same encoder + same real set + same z/layouts at every checkpoint,
+    so differences come from the generator alone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.nn.encoders import CNNEncoder
+    from multiple_objects_gan_tpu.utils.metrics import compute_fid
+
+    def rgb(x):
+        x = np.asarray(x, np.float32)
+        return np.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+    enc = CNNEncoder(nef=256)
+    enc_vars = jax.jit(lambda r: enc.init(
+        r, jnp.zeros((2, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
+    return compute_fid(enc, enc_vars, rgb(real), rgb(fake), batch)
+
+
 def _random_layouts(b: int, o: int, label_dim: int, seed: int,
                     n_classes: int = 0):
     """n_classes: how many leading label slots are REAL classes — mnist
@@ -93,9 +145,13 @@ def _generate_stage1(cfg_file, cfg_variant, out_dir, seed):
     g, d = Stage1G(mcfg), Stage1D(mcfg)
     rng = jax.random.PRNGKey(seed)
     state = create_state(mcfg, g, d, rng, batch_size=2, use_ema=False)
-    state, epoch = CheckpointManager(os.path.join(out_dir, "models")
-                                     ).restore(state)
-    print(f"restored epoch {epoch}", flush=True)
+    try:
+        state, epoch = CheckpointManager(os.path.join(out_dir, "models")
+                                         ).restore(state)
+        print(f"restored epoch {epoch}", flush=True)
+    except FileNotFoundError:
+        print("no checkpoint — random-init G (FID-trend baseline point)",
+              flush=True)
 
     b = 32
     bbox, labels, rs = _random_layouts(
@@ -146,9 +202,13 @@ def _generate_stage2(cfg_file, out_dir, seed):
     s1_vars = {"params": s1_state.g_params,
                "batch_stats": s1_state.g_stats}
     state = create_state_stage2(s2_cfg, g2, d2, rng, batch_size=2)
-    state, epoch = CheckpointManager(os.path.join(out_dir, "models")
-                                     ).restore(state)
-    print(f"restored epoch {epoch}", flush=True)
+    try:
+        state, epoch = CheckpointManager(os.path.join(out_dir, "models")
+                                         ).restore(state)
+        print(f"restored epoch {epoch}", flush=True)
+    except FileNotFoundError:
+        print("no checkpoint — random-init G (FID-trend baseline point)",
+              flush=True)
 
     b = 16
     bbox, labels, rs = _random_layouts(b, s1_cfg.num_objects,
@@ -250,6 +310,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--n", type=int, default=0,
                    help="synthetic dataset size (0 = variant default)")
+    p.add_argument("--fid_images", type=int, default=128,
+                   help="real-side image count for the FID trend")
     args = p.parse_args(argv)
 
     from multiple_objects_gan_tpu.cli.main import main as cli_main
@@ -289,37 +351,66 @@ def main(argv=None):
                 "coco-attngan": None}[variant]
     if variant == "coco-attngan":
         cfg_file = _write_attngan_validate_cfg(work)
-    cli_args = ["--variant", variant, "--cfg", cfg_file,
-                "--data_dir", data_dir, "--output_dir", out_dir,
-                "--synthetic", "--max_epochs", str(args.epochs),
-                # only the final epoch's checkpoint is needed here; a
-                # mid-run stage-2 snapshot is a ~2.5 GB fetch (slow on
-                # tunneled dev TPUs)
-                "--snapshot_interval", str(10 * args.epochs),
-                "--manualSeed", str(args.seed)]
-    if variant.startswith("coco-"):
-        cli_args += ["--img_dir", os.path.join(work, "imgs")]
-    if args.bf16:
-        cli_args.append("--bf16")
-    cli_main(cli_args)
-
-    if variant == "coco-attngan":
-        imgs, bbox = _generate_attngan(cfg_file, data_dir,
-                                       os.path.join(work, "imgs"),
-                                       out_dir, args.seed)
-    elif variant == "coco-stackgan-2":
-        imgs, bbox = _generate_stage2(cfg_file, out_dir, args.seed)
-    else:
+    def generate(from_dir):
+        if variant == "coco-attngan":
+            return _generate_attngan(cfg_file, data_dir,
+                                     os.path.join(work, "imgs"),
+                                     from_dir, args.seed)
+        if variant == "coco-stackgan-2":
+            return _generate_stage2(cfg_file, from_dir, args.seed)
         cfg_variant = {"multi-mnist": "multi-mnist", "clevr": "clevr",
                        "coco-stackgan-1": "coco-stackgan"}[variant]
-        imgs, bbox = _generate_stage1(cfg_file, cfg_variant, out_dir,
-                                      args.seed)
+        return _generate_stage1(cfg_file, cfg_variant, from_dir, args.seed)
+
+    def run_cli(to_dir, max_epochs, resume_from=None):
+        cli_args = ["--variant", variant, "--cfg", cfg_file,
+                    "--data_dir", data_dir, "--output_dir", to_dir,
+                    "--synthetic", "--max_epochs", str(max_epochs),
+                    # only each segment's final checkpoint is needed; a
+                    # mid-run stage-2 snapshot is a ~2.5 GB fetch (slow on
+                    # tunneled dev TPUs)
+                    "--snapshot_interval", str(10 * args.epochs),
+                    "--manualSeed", str(args.seed)]
+        if resume_from:
+            cli_args += ["--resume", resume_from]
+        if variant.startswith("coco-"):
+            cli_args += ["--img_dir", os.path.join(work, "imgs")]
+        if args.bf16:
+            cli_args.append("--bf16")
+        cli_main(cli_args)
+
+    # ---- FID trend over checkpoints (VERDICT r2 "weak" #5): the metric
+    # must IMPROVE with training, not just place blobs in boxes. Real
+    # side: the synthetic training images; fake side: fresh fixed
+    # z/layouts at every point, so only G's params move the number. ----
+    imgs0, _ = generate(os.path.join(work, "never_trained"))
+    real = _load_real_images(
+        _glob_images(data_dir, os.path.join(work, "imgs")),
+        size=imgs0.shape[1], limit=args.fid_images)
+    fid_points = [(0, _fid(real, imgs0))]
+    print(f"FID @ init: {fid_points[0][1]:.2f}", flush=True)
+
+    seg_epochs = sorted({max(1, args.epochs // 2), args.epochs})
+    prev = None
+    imgs = bbox = None
+    for e in seg_epochs:
+        seg_out = os.path.join(work, f"out_e{e}")
+        run_cli(seg_out, e, resume_from=prev)
+        imgs, bbox = generate(seg_out)
+        fid_points.append((e, _fid(real, imgs)))
+        print(f"FID @ epoch {e}: {fid_points[-1][1]:.2f}", flush=True)
+        prev = seg_out
 
     in_box, out_box = _separation(imgs, bbox)
+    fids = [f for _, f in fid_points]
     print(json.dumps({
         "variant": args.variant, "epochs": args.epochs,
         "in_box": round(in_box, 3), "out_box": round(out_box, 3),
-        "separation": round(in_box - out_box, 3)}))
+        "separation": round(in_box - out_box, 3),
+        "fid_trend": [[e, round(f, 2)] for e, f in fid_points],
+        # trained beats random init, and the final point is (near-)best
+        "fid_decreasing": bool(fids[-1] < fids[0]
+                               and fids[-1] <= min(fids) * 1.10)}))
 
 
 if __name__ == "__main__":
