@@ -9,7 +9,7 @@ Prints one JSON line: {"variant", "epochs", "in_box", "out_box",
 "separation", "fid_trend", "fid_decreasing"} — separation = in_box -
 out_box on the [-1, 1] scale; fid_trend = [[epoch, FID]] measured at
 random init, the halfway checkpoint, and the final checkpoint against the
-synthetic real split (deterministic random-init Inception backbone:
+synthetic real split (deterministic shallow random-feature encoder:
 absolute values self-comparable only; the requirement is the TREND —
 training must reduce FID, not just move mass into boxes).
 Reference values measured with THIS tool on the real TPU (bf16,
@@ -91,24 +91,50 @@ def _glob_images(*dirs) -> list:
 
 
 def _fid(real: np.ndarray, fake: np.ndarray, batch: int = 16) -> float:
-    """FID with a deterministic random-init Inception backbone: absolute
-    values are only self-comparable, which is all a TREND check needs
-    (same encoder + same real set + same z/layouts at every checkpoint,
-    so differences come from the generator alone)."""
+    """FID over SHALLOW random conv features: absolute values are only
+    self-comparable, which is all a TREND check needs (same encoder +
+    same real set + same z/layouts at every checkpoint, so differences
+    come from the generator alone). A random-init DEEP backbone is the
+    wrong tool here — measured: 40+ layers of untrained convs collapse
+    every input to near-identical activations (FID ~6e-5 between white
+    noise and dark images), so the trend reads 0.0 everywhere. Four
+    strided convs with unit-gain orthogonal init keep the features
+    discriminative (multi-scale mean+std pooling, 384-dim)."""
     import jax
     import jax.numpy as jnp
+    from flax import linen as nn
 
-    from multiple_objects_gan_tpu.nn.encoders import CNNEncoder
-    from multiple_objects_gan_tpu.utils.metrics import compute_fid
+    from multiple_objects_gan_tpu.utils.metrics import fid_from_activations
 
     def rgb(x):
         x = np.asarray(x, np.float32)
         return np.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
-    enc = CNNEncoder(nef=256)
+    class _RandFeat(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            feats = []
+            for ch in (32, 64, 128):
+                x = nn.Conv(ch, (4, 4), strides=(2, 2),
+                            kernel_init=nn.initializers.orthogonal())(x)
+                x = nn.leaky_relu(x, 0.2)
+                feats += [jnp.mean(x, axis=(1, 2)), jnp.std(x, axis=(1, 2))]
+            return jnp.concatenate(feats, axis=-1)
+
+    enc = _RandFeat()
+    size = rgb(real).shape[1]
     enc_vars = jax.jit(lambda r: enc.init(
-        r, jnp.zeros((2, 64, 64, 3)), train=False))(jax.random.PRNGKey(0))
-    return compute_fid(enc, enc_vars, rgb(real), rgb(fake), batch)
+        r, jnp.zeros((2, size, size, 3))))(jax.random.PRNGKey(0))
+    feat = jax.jit(lambda v, x: enc.apply(v, x).astype(jnp.float32))
+
+    def acts(imgs):
+        imgs = rgb(imgs)
+        out = [np.asarray(feat(enc_vars, jnp.asarray(imgs[i:i + batch])),
+                          np.float32)
+               for i in range(0, len(imgs), batch)]
+        return np.concatenate(out)
+
+    return fid_from_activations(acts(real), acts(fake))
 
 
 def _random_layouts(b: int, o: int, label_dim: int, seed: int,
