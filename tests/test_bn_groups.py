@@ -146,3 +146,56 @@ def test_grouped_bn_uneven_batch_matches_torch_chunk(bn_groups_2):
         np.testing.assert_allclose(
             np.asarray(upd["batch_stats"][k]),
             np.asarray(stats[0]["batch_stats"][k]), atol=1e-6)
+
+
+def test_grouped_bn_sharded_stats_stay_device_local():
+    """BN_GROUPS == mesh device count: the group axis coincides with the
+    shard axis, so each device normalizes with ITS OWN shard's stats and
+    the normalize needs no cross-device communication (docs/SCALING.md).
+    Asserts (a) sharded grouped output == concat of per-shard sync-BN
+    forwards, and (b) the compiled stats-free normalize contains no
+    collectives at all; the mutable version may only communicate the
+    C-sized replica-0 running-stat update, never activations."""
+    from multiple_objects_gan_tpu.parallel import mesh as pmesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = pmesh.make_mesh(8)
+    bn = blocks.TorchBatchNorm()
+    rng = np.random.RandomState(4)
+    x = rng.randn(16, 4, 4, 3).astype(np.float32) * 1.3 + 0.7
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    rep = NamedSharding(mesh, P())
+    var_s = jax.device_put(variables, rep)
+    x_s = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+
+    prev = blocks.BN_GROUPS
+    blocks.BN_GROUPS = 8
+    try:
+        fwd = jax.jit(lambda v, x: bn.apply(v, x, train=True,
+                                            mutable=["batch_stats"]))
+        lowered = fwd.lower(var_s, x_s).compile()
+        y, upd = fwd(var_s, x_s)
+        y = np.asarray(y)
+    finally:
+        blocks.BN_GROUPS = prev
+
+    shards = []
+    for i in range(8):
+        ys, us = _sync_bn_apply(variables, x[2 * i:2 * i + 2])
+        shards.append(np.asarray(ys))
+        if i == 0:
+            first_stats = us["batch_stats"]
+    np.testing.assert_allclose(y, np.concatenate(shards), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(upd["batch_stats"][k]),
+                                   np.asarray(first_stats[k]), atol=1e-6)
+
+    # collectives may only move the C-sized replica-0 running-stat
+    # update, never activation-shaped (4-D) tensors
+    import re
+    hlo = lowered.as_text()
+    for line in hlo.splitlines():
+        if re.search(r"\b(all-reduce|all-gather|collective-permute"
+                     r"|all-to-all|reduce-scatter)\b", line):
+            assert not re.search(r"\[\d+,\d+,\d+,\d+\]", line), (
+                f"grouped-BN moved an activation across devices: {line}")
