@@ -37,6 +37,7 @@ from multiple_objects_gan_tpu.nn.blocks import (
     TorchBatchNorm,
     UpBlockGLU,
     glu,
+    object_fold,
     orthogonal_init,
 )
 from multiple_objects_gan_tpu.nn.pathways import CANet, LayoutEncoder
@@ -72,8 +73,9 @@ class ObjectPathwayGLU(nn.Module):
         b, o, ef = labels.shape
         x = jnp.broadcast_to(labels.reshape(b * o, 1, 1, ef),
                              (b * o, 4, 4, ef))
-        x = UpBlockGLU(self.ngf // 2, name="local1")(x, train)
-        x = UpBlockGLU(self.ngf // 4, name="local2")(x, train)
+        with object_fold(o):
+            x = UpBlockGLU(self.ngf // 2, name="local1")(x, train)
+            x = UpBlockGLU(self.ngf // 4, name="local2")(x, train)
         x = x.reshape((b, o) + x.shape[1:])
         return stn_place_multi(x, bbox, (16, 16))
 
@@ -95,9 +97,11 @@ class InitStageG(nn.Module):
             [jnp.broadcast_to(c_code[:, None, :], (b, o, ef)), label_onehot],
             axis=-1)
         flat = lab_in.reshape(b * o, -1)
-        flat = nn.Dense(ef, use_bias=False, kernel_init=orthogonal_init(),
-                        name="label_fc")(flat)
-        flat = TorchBatchNorm(name="label_bn")(flat, train)
+        with object_fold(o):
+            flat = nn.Dense(ef, use_bias=False,
+                            kernel_init=orthogonal_init(),
+                            name="label_fc")(flat)
+            flat = TorchBatchNorm(name="label_bn")(flat, train)
         local_labels = nn.relu(flat).reshape(b, o, ef)
 
         h_locals = ObjectPathwayGLU(ngf, name="local")(local_labels, bbox,
@@ -215,7 +219,8 @@ class DNet64(nn.Module):
         lab = jnp.broadcast_to(labels.reshape(b * o, 1, 1, l),
                                (b * o, 16, 16, l))
         x = jnp.concatenate([patches, lab], axis=-1)
-        x = nn.leaky_relu(self.local_bn(self.local_conv(x), train), 0.2)
+        with object_fold(o):
+            x = nn.leaky_relu(self.local_bn(self.local_conv(x), train), 0.2)
         x = x.reshape((b, o) + x.shape[1:])
         h_locals = stn_place_multi(x, bbox, (16, 16))
 

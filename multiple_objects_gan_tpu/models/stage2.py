@@ -34,6 +34,7 @@ from multiple_objects_gan_tpu.nn.blocks import (
     TorchBatchNorm,
     UpBlock,
     normal_init,
+    object_fold,
 )
 from multiple_objects_gan_tpu.nn.pathways import (
     CANet,
@@ -118,8 +119,9 @@ class Stage2G(nn.Module):
         lab_map = jnp.broadcast_to(
             local_labels.reshape(b * o, 1, 1, ef), (b * o, 16, 16, ef))
         cur = jnp.concatenate([patches, lab_map], axis=-1)
-        cur = UpBlock(ngf * 2, name="local1")(cur, train)    # 32x32
-        cur = UpBlock(ngf, name="local2")(cur, train)        # 64x64
+        with object_fold(o):
+            cur = UpBlock(ngf * 2, name="local1")(cur, train)    # 32x32
+            cur = UpBlock(ngf, name="local2")(cur, train)        # 64x64
         cur = cur.reshape((b, o) + cur.shape[1:])
         h_locals = stn_place_multi(cur, bbox_s2, (64, 64))
 
@@ -169,8 +171,11 @@ class Stage2D(nn.Module):
         lab = jnp.broadcast_to(labels.reshape(b * o, 1, 1, l),
                                (b * o, 32, 32, l))
         x = jnp.concatenate([patches, lab], axis=-1)
-        x = nn.leaky_relu(self.local_bn1(self.local_conv1(x), train), 0.2)
-        x = nn.leaky_relu(self.local_bn2(self.local_conv2(x), train), 0.2)
+        with object_fold(o):
+            x = nn.leaky_relu(self.local_bn1(self.local_conv1(x), train),
+                              0.2)
+            x = nn.leaky_relu(self.local_bn2(self.local_conv2(x), train),
+                              0.2)
         x = x.reshape((b, o) + x.shape[1:])
         h_locals = stn_place_multi(x, bbox, (32, 32))
 

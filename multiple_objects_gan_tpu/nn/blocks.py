@@ -76,6 +76,40 @@ def set_bn_groups(groups: int) -> None:
     global BN_GROUPS
     BN_GROUPS = int(groups)
 
+
+# Object-pathway fold marker. The reference runs its object pathways as a
+# sequential per-object Python loop — each of the O iterations calls the
+# SAME conv+BN modules on a B-sized batch, so train-mode BN statistics
+# are per-OBJECT, and the running buffers receive O sequential EMA
+# updates per forward (code/multi-mnist/model.py:162-169,227-234;
+# code/coco/stackgan/model.py:201-214). The TPU formulation folds the
+# object axis into the batch ((B, O) -> (B*O), O minor) for one big
+# launch; ``object_fold(o)`` marks those segments at trace time so
+# TorchBatchNorm reproduces the reference statistics EXACTLY: stats per
+# object slice (vectorized — no loop), running stats via the closed-form
+# sequential EMA. Composes with BN_GROUPS (DataParallel chunks the batch
+# first, each replica then loops objects).
+OBJECT_FOLD: int = 1
+
+
+class object_fold:
+    """Trace-time context: the leading axis of tensors inside is (B, O)
+    folded with O minor; BN computes per-object statistics."""
+
+    def __init__(self, o: int):
+        self.o = int(o)
+
+    def __enter__(self):
+        global OBJECT_FOLD
+        self._prev = OBJECT_FOLD
+        OBJECT_FOLD = self.o
+        return self
+
+    def __exit__(self, *exc):
+        global OBJECT_FOLD
+        OBJECT_FOLD = self._prev
+        return False
+
 def conv_dt(*args, **kwargs):
     """nn.Conv bound to COMPUTE_DTYPE (param trees unchanged — flax names
     still derive from the Conv class)."""
@@ -126,6 +160,10 @@ class TorchBatchNorm(nn.Module):
 
         if train:
             groups = 1 if self.is_initializing() else BN_GROUPS
+            fold = 1 if self.is_initializing() else OBJECT_FOLD
+            if fold > 1:
+                return self._train_object_fold(x, fold, groups, scale,
+                                               bias, ra_mean, ra_var)
             if groups > 1:
                 return self._train_grouped(x, groups, scale, bias,
                                            ra_mean, ra_var)
@@ -214,6 +252,64 @@ class TorchBatchNorm(nn.Module):
                              + self.momentum * m0)
             ra_var.value = ((1 - self.momentum) * ra_var.value
                             + self.momentum * v0)
+        return y.reshape(x.shape)
+
+    def _train_object_fold(self, x: Array, fold: int, groups: int,
+                           scale, bias, ra_mean, ra_var) -> Array:
+        """Exact reference object-pathway BN: the leading axis is (B, O)
+        folded with O minor (see :class:`object_fold`). Statistics are
+        computed per (replica chunk, object) slice — what the reference's
+        sequential per-object loop produces on each DataParallel replica
+        — and the running buffers get replica 0's O sequential EMA
+        updates, applied in closed form:
+
+            new = (1-m)^O * old + sum_o m * (1-m)^(O-1-o) * stat_o
+
+        All vectorized: one reshape + one reduction, no per-object loop.
+        """
+        import numpy as np
+
+        bo, c = x.shape[0], x.shape[-1]
+        if bo % fold:
+            raise ValueError(
+                f"object_fold({fold}) does not divide the folded batch "
+                f"({bo})")
+        b = bo // fold
+        if b % groups:
+            raise ValueError(
+                f"BN_GROUPS={groups} must divide the object-pathway batch "
+                f"({b}) — object pathways always see the full batch")
+        xg = x.reshape((groups, b // groups, fold) + x.shape[1:])
+        red = (1,) + tuple(range(3, xg.ndim - 1))
+        n = b // groups
+        for ax in red[1:]:
+            n *= xg.shape[ax]
+
+        if x.dtype == jnp.bfloat16:
+            mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+            sq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red,
+                          keepdims=True)
+            var = sq - jnp.square(mean)
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            y = ((xg - mean.astype(xg.dtype)) * inv.astype(xg.dtype)
+                 + bias.astype(xg.dtype))
+        else:
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red, keepdims=True)
+            var = (jnp.mean(jnp.square(xf), axis=red, keepdims=True)
+                   - jnp.square(mean))
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            y = ((xf - mean) * inv + bias).astype(x.dtype)
+        if not self.is_initializing():
+            m = self.momentum
+            mean0 = mean[0, 0].reshape(fold, c)      # replica 0, per object
+            var0u = var[0, 0].reshape(fold, c) * (n / max(n - 1, 1))
+            w = jnp.asarray(
+                np.array([m * (1 - m) ** (fold - 1 - i)
+                          for i in range(fold)], np.float32))[:, None]
+            decay = (1 - m) ** fold
+            ra_mean.value = decay * ra_mean.value + jnp.sum(w * mean0, 0)
+            ra_var.value = decay * ra_var.value + jnp.sum(w * var0u, 0)
         return y.reshape(x.shape)
 
     def _train_grouped_uneven(self, x: Array, groups: int, scale, bias,

@@ -13,10 +13,11 @@ Parity targets (reference files under /root/reference):
 
 TPU-first translation: the reference's per-object Python loops become a
 folded (B*O) batch axis feeding batched STN matmuls — one kernel per stage
-instead of O sequential launches. BatchNorm inside the object pathway
-therefore normalizes over (B*O) pooled statistics rather than the
-reference's per-object sequential stats; eval-mode (running-stats) behavior
-is identical, which is what checkpoint-parity requires.
+instead of O sequential launches. BatchNorm statistics remain EXACT:
+``blocks.object_fold`` marks the folded segments, and TorchBatchNorm
+computes per-object (and, under BN_GROUPS, per-replica) statistics plus
+the reference's sequential running-stat EMA in closed form — identical
+train-mode math to the sequential loop, vectorized.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from multiple_objects_gan_tpu.nn.blocks import (
     TorchBatchNorm,
     UpBlock,
     normal_init,
+    object_fold,
 )
 from multiple_objects_gan_tpu.ops import (
     stn_extract_multi,
@@ -59,9 +61,11 @@ class LabelEmbed(nn.Module):
     def __call__(self, labels: Array, train: bool) -> Array:
         b, o, d = labels.shape
         x = labels.reshape(b * o, d)
-        x = Dense(self.features, use_bias=False, kernel_init=self.kernel_init)(x)
-        x = TorchBatchNorm()(x, train)
-        x = nn.relu(x)
+        with object_fold(o):
+            x = Dense(self.features, use_bias=False,
+                      kernel_init=self.kernel_init)(x)
+            x = TorchBatchNorm()(x, train)
+            x = nn.relu(x)
         return x.reshape(b, o, self.features)
 
 
@@ -110,8 +114,9 @@ class ObjectPathwayG(nn.Module):
         b, o, ef = labels.shape
         x = labels.reshape(b * o, 1, 1, ef)
         x = jnp.broadcast_to(x, (b * o, 4, 4, ef))
-        x = UpBlock(self.ngf // 2, kernel_init=self.kernel_init)(x, train)
-        x = UpBlock(self.ngf // 4, kernel_init=self.kernel_init)(x, train)
+        with object_fold(o):
+            x = UpBlock(self.ngf // 2, kernel_init=self.kernel_init)(x, train)
+            x = UpBlock(self.ngf // 4, kernel_init=self.kernel_init)(x, train)
         x = x.reshape((b, o) + x.shape[1:])
         return stn_place_multi(x, bbox, self.canvas_hw)
 
@@ -140,10 +145,12 @@ class ObjectPathwayD(nn.Module):
         lab = jnp.broadcast_to(labels.reshape(b * o, 1, 1, l),
                                (b * o, 16, 16, l))
         x = jnp.concatenate([patches, lab], axis=-1)
-        x = conv_dt(self.ndf * 2, (4, 4), strides=(1, 1), padding=1,
-                    use_bias=False, kernel_init=self.kernel_init)(x)  # -> 15x15
-        x = TorchBatchNorm()(x, train)
-        x = nn.leaky_relu(x, 0.2)
+        with object_fold(o):
+            x = conv_dt(self.ndf * 2, (4, 4), strides=(1, 1), padding=1,
+                        use_bias=False,
+                        kernel_init=self.kernel_init)(x)  # -> 15x15
+            x = TorchBatchNorm()(x, train)
+            x = nn.leaky_relu(x, 0.2)
         x = x.reshape((b, o) + x.shape[1:])
         return stn_place_multi(x, bbox, (16, 16))
 

@@ -199,3 +199,77 @@ def test_grouped_bn_sharded_stats_stay_device_local():
                      r"|all-to-all|reduce-scatter)\b", line):
             assert not re.search(r"\[\d+,\d+,\d+,\d+\]", line), (
                 f"grouped-BN moved an activation across devices: {line}")
+
+
+def test_object_fold_matches_sequential_per_object_loop():
+    """blocks.object_fold(O) == the reference's sequential per-object BN
+    loop: each object slice normalizes with its OWN batch stats, and the
+    running buffers receive O sequential EMA updates in call order
+    (code/multi-mnist/model.py:162-169 — the same local1/local2 modules
+    are invoked once per object)."""
+    bn = blocks.TorchBatchNorm()
+    rng = np.random.RandomState(5)
+    b, o = 4, 3
+    x = rng.randn(b, o, 6, 6, 2).astype(np.float32) * 1.7 + 0.3
+    folded = jnp.asarray(x.reshape(b * o, 6, 6, 2))
+    variables = bn.init(jax.random.PRNGKey(0), folded, train=True)
+
+    with blocks.object_fold(o):
+        y, upd = bn.apply(variables, folded, train=True,
+                          mutable=["batch_stats"])
+    y = np.asarray(y).reshape(b, o, 6, 6, 2)
+
+    # sequential oracle: one sync-BN call per object, running stats
+    # threaded through call-by-call
+    running = variables["batch_stats"]
+    for idx in range(o):
+        yo, uo = bn.apply(
+            {"params": variables.get("params", {}), "batch_stats": running},
+            jnp.asarray(x[:, idx]), train=True, mutable=["batch_stats"])
+        running = uo["batch_stats"]
+        np.testing.assert_allclose(y[:, idx], np.asarray(yo), atol=1e-5,
+                                   err_msg=f"object {idx}")
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(upd["batch_stats"][k]),
+                                   np.asarray(running[k]), atol=1e-6,
+                                   err_msg=k)
+
+
+def test_object_fold_composes_with_bn_groups():
+    """fold(O) under BN_GROUPS=2 == each DataParallel replica running its
+    own sequential per-object loop on its contiguous batch chunk; running
+    stats come from replica 0's loop."""
+    bn = blocks.TorchBatchNorm()
+    rng = np.random.RandomState(6)
+    b, o = 4, 2
+    x = rng.randn(b, o, 4, 4, 3).astype(np.float32) - 0.4
+    folded = jnp.asarray(x.reshape(b * o, 4, 4, 3))
+    variables = bn.init(jax.random.PRNGKey(0), folded, train=True)
+
+    prev = blocks.BN_GROUPS
+    blocks.BN_GROUPS = 2
+    try:
+        with blocks.object_fold(o):
+            y, upd = bn.apply(variables, folded, train=True,
+                              mutable=["batch_stats"])
+    finally:
+        blocks.BN_GROUPS = prev
+    y = np.asarray(y).reshape(b, o, 4, 4, 3)
+
+    rep_stats = []
+    for chunk in (slice(0, 2), slice(2, 4)):
+        running = variables["batch_stats"]
+        for idx in range(o):
+            yo, uo = bn.apply(
+                {"params": variables.get("params", {}),
+                 "batch_stats": running},
+                jnp.asarray(x[chunk, idx]), train=True,
+                mutable=["batch_stats"])
+            running = uo["batch_stats"]
+            np.testing.assert_allclose(
+                y[chunk, idx], np.asarray(yo), atol=1e-5,
+                err_msg=f"chunk {chunk} object {idx}")
+        rep_stats.append(running)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(upd["batch_stats"][k]),
+                                   np.asarray(rep_stats[0][k]), atol=1e-6)
