@@ -10,7 +10,6 @@ caption-text tile, save 20-tile grids. Layout surgery options
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Optional
 
 import jax
@@ -26,11 +25,16 @@ CLEVR_COLOR_NAMES = {0: "gray", 1: "red", 2: "blue", 3: "green", 4: "brown",
 
 
 def load_validation_layouts(datapath: str):
-    """labels/bboxes pickles (code/multi-mnist/miscc/utils.py:59-68)."""
-    with open(os.path.join(datapath, "normal", "bboxes.pickle"), "rb") as f:
-        bboxes = np.array(pickle.load(f), np.float32)
-    with open(os.path.join(datapath, "normal", "labels.pickle"), "rb") as f:
-        labels = np.array(pickle.load(f), np.float32)
+    """labels/bboxes pickles (code/multi-mnist/miscc/utils.py:59-68);
+    load_pickle handles the published py2-cPickle files."""
+    from multiple_objects_gan_tpu.io.pycompat import load_pickle
+
+    bboxes = np.array(
+        load_pickle(os.path.join(datapath, "normal", "bboxes.pickle")),
+        np.float32)
+    labels = np.array(
+        load_pickle(os.path.join(datapath, "normal", "labels.pickle")),
+        np.float32)
     return labels, bboxes
 
 

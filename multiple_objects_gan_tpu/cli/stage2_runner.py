@@ -197,7 +197,6 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
       * an output dir of our own training -> orbax restore
     """
     import dataclasses
-    import pickle
 
     from multiple_objects_gan_tpu.data.coco import (
         CocoStackganDataset, labels_to_onehot)
@@ -242,12 +241,15 @@ def sample_stage2(args, cfg, s1_cfg, s2_cfg, r_num, g1, g2, d2, s1_vars,
         from multiple_objects_gan_tpu.io.torchfile import load_val_captions
 
         captions_list, embeddings = load_val_captions(t7_path)
-        with open(os.path.join(test_dir, "bboxes.pickle"), "rb") as f:
-            val_bboxes = np.array(pickle.load(f), np.float32)
-        with open(os.path.join(test_dir, "labels.pickle"), "rb") as f:
-            val_labels = np.array(pickle.load(f))
-        with open(os.path.join(test_dir, "filenames.pickle"), "rb") as f:
-            val_filenames = pickle.load(f)
+        from multiple_objects_gan_tpu.io.pycompat import load_pickle
+
+        # load_pickle: published COCO test pickles are py2 cPickle
+        val_bboxes = np.array(
+            load_pickle(os.path.join(test_dir, "bboxes.pickle")), np.float32)
+        val_labels = np.array(
+            load_pickle(os.path.join(test_dir, "labels.pickle")))
+        val_filenames = load_pickle(
+            os.path.join(test_dir, "filenames.pickle"))
         n_items = len(captions_list)
         print(f"Successfully load sentences from: {test_dir}", flush=True)
         print(f"Total number of sentences: {n_items}", flush=True)

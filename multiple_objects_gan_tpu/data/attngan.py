@@ -26,6 +26,7 @@ import numpy as np
 from PIL import Image
 
 from multiple_objects_gan_tpu.data.coco import labels_to_onehot
+from multiple_objects_gan_tpu.io.pycompat import load_pickle
 
 MAX_OBJECTS = 3
 _TOKEN_RE = re.compile(r"\w+")
@@ -104,10 +105,13 @@ class AttnGanDataset:
         self.imsizes = [base_size * (2 ** i) for i in range(branch_num)]
         self._rng = np.random.RandomState(seed)
 
-        with open(os.path.join(self.split_dir, "bboxes.pickle"), "rb") as f:
-            self.bboxes = np.array(pickle.load(f), np.float32)
-        with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
-            self.labels = np.array(pickle.load(f))
+        # load_pickle: the published pickles are Python-2 cPickle
+        # (code/coco/attngan/datasets.py:261-291)
+        self.bboxes = np.array(
+            load_pickle(os.path.join(self.split_dir, "bboxes.pickle")),
+            np.float32)
+        self.labels = np.array(
+            load_pickle(os.path.join(self.split_dir, "labels.pickle")))
 
         cache = os.path.join(data_dir, "captions.pickle")
         train_names = self._load_filenames(data_dir, "train")
@@ -120,16 +124,16 @@ class AttnGanDataset:
             with open(cache, "wb") as f:
                 pickle.dump([tr, te, self.ixtoword, self.wordtoix], f)
         else:
-            with open(cache, "rb") as f:
-                tr, te, self.ixtoword, self.wordtoix = pickle.load(f)
+            # the published captions.pickle is py2 cPickle — vocab-index
+            # parity with the published DAMSM NET_E depends on reading it
+            tr, te, self.ixtoword, self.wordtoix = load_pickle(cache)
             self.n_words = len(self.ixtoword)
         self.captions = tr if split == "train" else te
         self.filenames = train_names if split == "train" else test_names
 
         cls_path = os.path.join(self.split_dir, "class_info.pickle")
         if os.path.isfile(cls_path):
-            with open(cls_path, "rb") as f:
-                self.class_id = np.asarray(pickle.load(f))
+            self.class_id = np.asarray(load_pickle(cls_path))
         else:
             self.class_id = np.arange(len(self.filenames))
 
@@ -137,8 +141,7 @@ class AttnGanDataset:
     def _load_filenames(data_dir, split):
         path = os.path.join(data_dir, split, "filenames.pickle")
         if os.path.isfile(path):
-            with open(path, "rb") as f:
-                return pickle.load(f)
+            return load_pickle(path)
         return []
 
     def __len__(self):

@@ -15,10 +15,12 @@ Parity target: code/coco/stackgan/miscc/datasets.py:25-217:
 from __future__ import annotations
 
 import os
-import pickle
+import pickle  # dump only — all loads go through io.pycompat.load_pickle
 
 import numpy as np
 from PIL import Image
+
+from multiple_objects_gan_tpu.io.pycompat import load_pickle
 
 MAX_OBJECTS = 3
 NUM_CLASSES = 81
@@ -67,18 +69,23 @@ class CocoStackganDataset:
         # resize target before random crop (main.py transform: 76 / 268)
         self.ori_size = 76 if imsize == 64 else 268
         self._rng = np.random.RandomState(seed)
-        with open(os.path.join(self.split_dir, "filenames.pickle"), "rb") as f:
-            self.filenames = pickle.load(f)
-        with open(os.path.join(self.split_dir, "bboxes.pickle"), "rb") as f:
-            self.bboxes = np.array(pickle.load(f), dtype=np.float32)
-        with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
-            self.labels = np.array(pickle.load(f))
+        # load_pickle: the published COCO pickles (incl. the char-CNN-RNN
+        # embeddings) are Python-2 cPickle
+        # (code/coco/stackgan/miscc/datasets.py:81-92)
+        self.filenames = load_pickle(
+            os.path.join(self.split_dir, "filenames.pickle"))
+        self.bboxes = np.array(
+            load_pickle(os.path.join(self.split_dir, "bboxes.pickle")),
+            dtype=np.float32)
+        self.labels = np.array(
+            load_pickle(os.path.join(self.split_dir, "labels.pickle")))
         emb_name = {"cnn-rnn": "char-CNN-RNN-embeddings.pickle",
                     "cnn-gru": "char-CNN-GRU-embeddings.pickle",
                     "skip-thought": "skip-thought-embeddings.pickle"}[
             embedding_type]
-        with open(os.path.join(self.split_dir, emb_name), "rb") as f:
-            self.embeddings = np.array(pickle.load(f), dtype=np.float32)
+        self.embeddings = np.array(
+            load_pickle(os.path.join(self.split_dir, emb_name)),
+            dtype=np.float32)
 
     def __len__(self) -> int:
         return len(self.filenames)

@@ -32,6 +32,8 @@ from typing import Iterator, Optional
 import numpy as np
 from PIL import Image
 
+from multiple_objects_gan_tpu.io.pycompat import load_pickle
+
 CLEVR_SHAPES = {"cube": 0, "cylinder": 1, "sphere": 2}
 CLEVR_COLORS = {"gray": 0, "red": 1, "blue": 2, "green": 3, "brown": 4,
                 "purple": 5, "cyan": 6, "yellow": 7}
@@ -63,12 +65,16 @@ class MultiMnistDataset:
         self.split_dir = os.path.join(data_dir, split, variant)
         self.img_dir = os.path.join(self.split_dir, "imgs")
         self.imsize = imsize
-        with open(os.path.join(self.split_dir, "filenames.pickle"), "rb") as f:
-            self.filenames = pickle.load(f)
-        with open(os.path.join(self.split_dir, "bboxes.pickle"), "rb") as f:
-            self.bboxes = np.array(pickle.load(f), dtype=np.float32)
-        with open(os.path.join(self.split_dir, "labels.pickle"), "rb") as f:
-            self.labels = np.array(pickle.load(f), dtype=np.float32)
+        # load_pickle: the published pickles are Python-2 cPickle
+        # (code/multi-mnist/miscc/datasets.py:29-43)
+        self.filenames = load_pickle(
+            os.path.join(self.split_dir, "filenames.pickle"))
+        self.bboxes = np.array(
+            load_pickle(os.path.join(self.split_dir, "bboxes.pickle")),
+            dtype=np.float32)
+        self.labels = np.array(
+            load_pickle(os.path.join(self.split_dir, "labels.pickle")),
+            dtype=np.float32)
         # RAM cache: 64px grayscale is ~4KB/image as uint8 — decode the
         # whole split once with the native threaded loader, serve batches
         # as array slices (the device step is ~50x faster than per-epoch

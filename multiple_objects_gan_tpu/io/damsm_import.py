@@ -19,8 +19,10 @@ def _np(v):
 
 
 def _load_sd(path: str) -> dict:
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    from multiple_objects_gan_tpu.io.pycompat import torch_load
+
+    # torch_load: published DAMSM .pth files were written by py2 torch-0.4
+    sd = torch_load(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: _np(v) for k, v in sd.items()}

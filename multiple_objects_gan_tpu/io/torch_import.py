@@ -333,8 +333,10 @@ def import_attngan_d(checkpoint: dict, scale: int) -> tuple[dict, dict]:
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    from multiple_objects_gan_tpu.io.pycompat import torch_load
+
+    # torch_load: the published .pth files were written by py2 torch-0.4
+    ckpt = torch_load(path)
     out = {}
     for top_k, top_v in ckpt.items():
         if hasattr(top_v, "items"):

@@ -153,6 +153,10 @@ class BasicConv2d(nn.Module):
     kernel: tuple
     stride: int = 1
     padding: tuple | int = 0
+    # None -> honor the global mixed-precision knob; an explicit dtype
+    # pins the block (the canonical FID encoder forces f32 so published-
+    # number comparability never depends on --bf16)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -165,12 +169,13 @@ class BasicConv2d(nn.Module):
         # the backbone is a frozen feature extractor, so bf16 activations
         # here only touch the DAMSM-loss gradient path; CNNEncoder casts
         # its outputs back to f32 so loss math and FID stay f32
+        dtype = self.dtype if self.dtype is not None else blocks.COMPUTE_DTYPE
         x = nn.Conv(self.features, self.kernel,
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=False, dtype=blocks.COMPUTE_DTYPE,
+                    use_bias=False, dtype=dtype,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=0.001,
-                         momentum=0.9, dtype=blocks.COMPUTE_DTYPE,
+                         momentum=0.9, dtype=dtype,
                          name="bn")(x)
         return nn.relu(x)
 

@@ -89,8 +89,9 @@ def load_inception_fc(path: str):
         z = np.load(path)
         return np.asarray(z["weight"], np.float32).T, np.asarray(
             z["bias"], np.float32)
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    from multiple_objects_gan_tpu.io.pycompat import torch_load
+
+    sd = torch_load(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return (np.asarray(sd["fc.weight"], np.float32).T,
