@@ -394,8 +394,16 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     from multiple_objects_gan_tpu.data.datasets import Loader
     from multiple_objects_gan_tpu.utils.metrics import (
         fid_from_activations, inception_activations, inception_score,
-        resolve_inception_fc)
+        resolve_fid_encoder, resolve_inception_fc)
     from PIL import Image
+
+    # FID encoder selection: $FID_INCEPTION_WEIGHTS -> canonical
+    # pytorch-fid pool3 (the published metric); otherwise the DAMSM
+    # image-encoder backbone ("damsm" if imported weights, else "random")
+    damsm_prov = {"imported": "damsm", "random": "random"}.get(
+        (enc_prov or {}).get("image_encoder", "random"), "random")
+    fid_enc, fid_vars, fid_prov = resolve_fid_encoder(
+        image_enc, enc_vars["image"], provenance=damsm_prov)
 
     rng = jax.random.PRNGKey(seed)
     g_params, g_stats = restore_g(cfg, mcfg, g, d_modules, rng,
@@ -460,7 +468,7 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     # accumulate 2048-d Inception activations PER BATCH, not images: at
     # the reference's 30k-image dump, f32 256px frames are ~24 GB per
     # side — pooled features are ~250 MB total
-    fake_acts, real_acts = [], []
+    fake_acts, real_acts, is_acts = [], [], []
     top = f"image{ds.imsizes[-1]}"
     for batch in loader.epoch(0):
         z = jax.random.normal(jax.random.fold_in(rng, written),
@@ -472,10 +480,15 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
         take = min(imgs.shape[0], limit - written)
         reals = as_model_image(np.asarray(batch[top][:take])).astype(
             np.float32)
-        fake_acts.append(inception_activations(
-            image_enc, enc_vars["image"], imgs[:take]))
-        real_acts.append(inception_activations(
-            image_enc, enc_vars["image"], reals))
+        fake_acts.append(inception_activations(fid_enc, fid_vars,
+                                               imgs[:take]))
+        real_acts.append(inception_activations(fid_enc, fid_vars, reals))
+        if fid_prov == "fid_canonical":
+            # IS stays on the DAMSM backbone (its 2048-d pool matches the
+            # torchvision fc head resolve_inception_fc imports); FID acts
+            # above come from the canonical encoder
+            is_acts.append(inception_activations(
+                image_enc, enc_vars["image"], imgs[:take]))
         for i in range(take):
             Image.fromarray(to_uint8(imgs[i])).save(
                 os.path.join(out_dir, f"s_{written:06d}.png"))
@@ -488,8 +501,9 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     real_acts = np.concatenate(real_acts)
     fid = fid_from_activations(real_acts, fake_acts)
     fc, is_head = resolve_inception_fc()
-    is_mean, is_std = inception_score(image_enc, enc_vars["image"],
-                                      acts=fake_acts, fc=fc)
+    is_mean, is_std = inception_score(
+        image_enc, enc_vars["image"],
+        acts=np.concatenate(is_acts) if is_acts else fake_acts, fc=fc)
     print(f"FID: {fid:.3f}  IS: {is_mean:.3f} +/- {is_std:.3f}", flush=True)
     import json
     with open(os.path.join(output_dir, "eval_metrics.json"), "w") as f:
@@ -499,8 +513,7 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
         json.dump({"fid": fid, "inception_score_mean": is_mean,
                    "inception_score_std": is_std, "n_images": written,
                    "is_head": is_head,
-                   "fid_encoder": (enc_prov or {}).get(
-                       "image_encoder", "unknown")}, f)
+                   "fid_encoder": fid_prov}, f)
     return out_dir
 
 

@@ -81,6 +81,34 @@ def compute_fid(image_encoder, enc_vars, real_images: np.ndarray,
     return fid_from_activations(a1, a2)
 
 
+def resolve_fid_encoder(image_encoder=None, enc_vars=None,
+                        provenance: str = "random"):
+    """Choose the FID feature encoder and report its provenance.
+
+    Returns ``(module, variables, provenance)`` where provenance is one of
+      * ``"fid_canonical"`` — $FID_INCEPTION_WEIGHTS points at the
+        pytorch-fid pt_inception (or a torchvision inception_v3) .pth and
+        the canonical pool3 encoder (nn/fid_inception.py) is used. The
+        ONLY setting whose FID is comparable to published numbers
+        (BASELINE.md; ref eval context /root/reference/index.md:203).
+      * ``"damsm"`` — the caller-passed DAMSM image-encoder backbone with
+        imported weights (self-consistent, NOT the published metric).
+      * ``"random"`` — a randomly initialized backbone (trend-only).
+    """
+    import os
+
+    path = os.environ.get("FID_INCEPTION_WEIGHTS", "")
+    if path and os.path.exists(path):
+        from multiple_objects_gan_tpu.nn.fid_inception import (
+            create_fid_encoder)
+        module, variables = create_fid_encoder(path)
+        return module, variables, "fid_canonical"
+    if path:
+        print(f"WARNING: $FID_INCEPTION_WEIGHTS={path!r} does not exist — "
+              "falling back to the non-canonical FID encoder", flush=True)
+    return image_encoder, enc_vars, provenance
+
+
 def load_inception_fc(path: str):
     """Load the 1000-class classifier head (fc.weight/fc.bias) from a
     torchvision inception_v3 state_dict (.pth) or an .npz with keys

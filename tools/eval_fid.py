@@ -6,16 +6,22 @@ self-contained for ANY of the 256px sample dumps (stackgan-2 sampling,
 attngan sampling()'s single_samples dir, or an external real-image dir),
 using the same Inception-v3 backbone as utils/metrics.py.
 
-For numbers comparable across runs, point --image_encoder at the
-published DAMSM image_encoder .pth (io/damsm_import) and, for IS,
+For numbers comparable to the PUBLISHED FID, set $FID_INCEPTION_WEIGHTS
+(or --fid_weights) to the pytorch-fid pt_inception-2015-12-05 .pth — the
+canonical pool3 encoder (nn/fid_inception.py) is then used and
+fid_encoder reports "fid_canonical". Otherwise --image_encoder selects
+the DAMSM backbone ("damsm": self-consistent, not the published metric);
+unset, a random backbone ("random": trend-only). For IS, point
 $INCEPTION_V3_WEIGHTS at a torchvision inception_v3 state_dict (the
 classifier head; utils/metrics.inception_score docstring).
 
 Prints ONE JSON line:
   {"fid": F, "is_mean": M, "is_std": S, "n_real": NR, "n_fake": NF,
-   "is_head": "imported"|"random", "fid_encoder": "imported"|"random"}
+   "is_head": "imported"|"random",
+   "fid_encoder": "fid_canonical"|"damsm"|"random"}
 
 Usage: python tools/eval_fid.py REAL_DIR FAKE_DIR
+           [--fid_weights pt_inception.pth]
            [--image_encoder damsm_image_encoder.pth] [--size 256]
            [--limit N] [--batch 32] [--out metrics.json]
 """
@@ -76,6 +82,9 @@ def main(argv=None):
     p.add_argument("--image_encoder", default="",
                    help="DAMSM image_encoder .pth (random backbone if unset"
                         " — numbers then only comparable to themselves)")
+    p.add_argument("--fid_weights", default="",
+                   help="pytorch-fid pt_inception .pth -> canonical FID "
+                        "encoder (also honored via $FID_INCEPTION_WEIGHTS)")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--limit", type=int, default=0,
                    help="cap images read per dir (0 = all)")
@@ -87,7 +96,8 @@ def main(argv=None):
 
     from multiple_objects_gan_tpu.nn.encoders import CNNEncoder
     from multiple_objects_gan_tpu.utils.metrics import (
-        fid_from_activations, inception_score, resolve_inception_fc)
+        fid_from_activations, inception_score, resolve_fid_encoder,
+        resolve_inception_fc)
 
     enc = CNNEncoder(nef=256)
     img = np.zeros((2, args.size, args.size, 3), np.float32)
@@ -98,26 +108,40 @@ def main(argv=None):
             import_image_encoder)
         enc_vars = import_image_encoder(args.image_encoder, enc_vars)
         print(f"Load image encoder from: {args.image_encoder}", flush=True)
-    else:
-        print("WARNING: --image_encoder unset — random Inception backbone; "
-              "FID comparable only within this configuration", flush=True)
+    if args.fid_weights:
+        os.environ["FID_INCEPTION_WEIGHTS"] = args.fid_weights
+    fid_enc, fid_vars, fid_prov = resolve_fid_encoder(
+        enc, enc_vars,
+        provenance="damsm" if args.image_encoder else "random")
+    if fid_prov == "fid_canonical":
+        print(f"canonical pytorch-fid encoder: "
+              f"{os.environ['FID_INCEPTION_WEIGHTS']}", flush=True)
+    elif fid_prov == "random":
+        print("WARNING: neither $FID_INCEPTION_WEIGHTS nor --image_encoder "
+              "set — random Inception backbone; FID comparable only within "
+              "this configuration", flush=True)
 
-    real_acts = dir_activations(enc, enc_vars, args.real_dir, args.size,
+    real_acts = dir_activations(fid_enc, fid_vars, args.real_dir, args.size,
                                 args.limit, args.batch)
-    fake_acts = dir_activations(enc, enc_vars, args.fake_dir, args.size,
+    fake_acts = dir_activations(fid_enc, fid_vars, args.fake_dir, args.size,
                                 args.limit, args.batch)
     fid = fid_from_activations(real_acts, fake_acts)
-    # IS reuses the fake activations — no second encoder pass
     fc, is_head = resolve_inception_fc()
-    is_mean, is_std = inception_score(enc, enc_vars, acts=fake_acts,
+    if fid_prov == "fid_canonical":
+        # IS head weights match the torchvision/DAMSM backbone, not the
+        # pt_inception pool — run IS on the DAMSM-backbone activations
+        is_acts = dir_activations(enc, enc_vars, args.fake_dir, args.size,
+                                  args.limit, args.batch)
+    else:
+        is_acts = fake_acts  # reuse — no second encoder pass
+    is_mean, is_std = inception_score(enc, enc_vars, acts=is_acts,
                                       batch_size=args.batch, fc=fc)
     result = {"fid": round(fid, 4), "is_mean": round(is_mean, 4),
               "is_std": round(is_std, 4),
               "n_real": int(real_acts.shape[0]),
               "n_fake": int(fake_acts.shape[0]),
               "is_head": is_head,
-              "fid_encoder": ("imported" if args.image_encoder
-                              else "random")}
+              "fid_encoder": fid_prov}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -105,15 +105,21 @@ def main(argv=None):
     result = {**m, "net_g": args.net_g, "net_e": args.net_e or None,
               "samples_dir": os.path.join(out_dir, "single_samples"),
               "metrics_json": metrics_path}
-    if m.get("is_head") == "random" or m.get("fid_encoder") == "random":
+    # published FID numbers were computed with the pytorch-fid canonical
+    # Inception (pool3, pt_inception weights) — ONLY fid_encoder ==
+    # "fid_canonical" is comparable; the DAMSM backbone ("damsm") is
+    # self-consistent but a different metric (VERDICT r3 missing #2)
+    if (m.get("is_head") == "imported"
+            and m.get("fid_encoder") == "fid_canonical"):
+        result["comparable_to_published"] = True
+    else:
         result["comparable_to_published"] = False
-        print("NOTE: placeholder weights in the metric path "
+        print("NOTE: non-canonical weights in the metric path "
               f"(is_head={m.get('is_head')}, "
               f"fid_encoder={m.get('fid_encoder')}) — numbers are NOT "
-              "comparable to published FID/IS; pass --net_e and set "
-              "$INCEPTION_V3_WEIGHTS", flush=True)
-    else:
-        result["comparable_to_published"] = True
+              "comparable to published FID/IS; set $FID_INCEPTION_WEIGHTS "
+              "to the pytorch-fid pt_inception .pth, pass --net_e, and "
+              "set $INCEPTION_V3_WEIGHTS", flush=True)
     print(json.dumps(result))
     return result
 
