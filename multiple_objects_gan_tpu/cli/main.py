@@ -141,6 +141,14 @@ def main(argv=None):
     output_dir = args.output_dir or os.path.join(
         "output", f"{cfg.DATASET_NAME}_{now}")
     os.makedirs(output_dir, exist_ok=True)
+    # record the trace-time knobs next to the cfg snapshot: --bn_groups /
+    # --bf16 change training dynamics but live outside the yml, so a
+    # resumed run that forgets them would silently train differently
+    # (ADVICE r3). Readers: humans resuming a run + nn/blocks warnings.
+    import json as _json
+    with open(os.path.join(output_dir, "run_flags.json"), "w") as _f:
+        _json.dump({"bn_groups": args.bn_groups, "bf16": bool(args.bf16),
+                    "variant": args.variant, "manualSeed": seed}, _f)
     # source snapshot (code/multi-mnist/main.py:71-76, attngan
     # main.py:144-151): the reference copies main/trainer/model/utils/
     # datasets + cfg into the output dir so every run is reproducible;

@@ -43,6 +43,29 @@ COMPUTE_DTYPE: Optional[jnp.dtype] = (
     else None)
 
 
+# set True the first time a model block READS one of the trace-time knobs
+# (COMPUTE_DTYPE / BN_GROUPS): setting a knob afterwards cannot affect
+# already-jitted executables, so the setters warn loudly (ADVICE r3)
+_KNOBS_READ: bool = False
+
+
+def _mark_knobs_read() -> None:
+    global _KNOBS_READ
+    _KNOBS_READ = True
+
+
+def _warn_if_late(name: str) -> None:
+    if _KNOBS_READ:
+        import warnings
+
+        warnings.warn(
+            f"{name} called AFTER a model function was already traced: "
+            "executables cached by jax.jit keep the OLD setting; call the "
+            "setter before the first jit (resumed runs must re-pass the "
+            "same flags — see run_flags.json in the output dir)",
+            UserWarning, stacklevel=3)
+
+
 def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
     """Set the conv/dense compute dtype (None = f32, or jnp.bfloat16).
 
@@ -53,6 +76,8 @@ def set_compute_dtype(dtype: Optional[jnp.dtype]) -> None:
     BN statistics, and the STN resampling stay f32.
     """
     global COMPUTE_DTYPE
+    if dtype != COMPUTE_DTYPE:
+        _warn_if_late("set_compute_dtype")
     COMPUTE_DTYPE = dtype
 
 
@@ -74,6 +99,8 @@ def set_bn_groups(groups: int) -> None:
     before the first jit, like :func:`set_compute_dtype`). 1 = sync-BN;
     G > 1 = per-replica DataParallel semantics over G batch chunks."""
     global BN_GROUPS
+    if int(groups) != BN_GROUPS:
+        _warn_if_late("set_bn_groups")
     BN_GROUPS = int(groups)
 
 
@@ -159,6 +186,7 @@ class TorchBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
 
         if train:
+            _mark_knobs_read()
             groups = 1 if self.is_initializing() else BN_GROUPS
             fold = 1 if self.is_initializing() else OBJECT_FOLD
             if fold > 1:

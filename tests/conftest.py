@@ -39,8 +39,16 @@ def _host_fingerprint() -> str:
     loaded on a DIFFERENT host SIGABRTs mid-run (CLAUDE.md). Keying the
     cache dir by everything those entries depend on makes cross-run reuse
     safe: a new host/toolchain simply starts an empty dir."""
+    import jaxlib
+
     bits = [platform.machine(), sys.version.split()[0], jax.__version__,
-            getattr(jax, "__version_info__", "")]
+            getattr(jax, "__version_info__", ""),
+            # jaxlib/XLA build identity: compiled-executable layout can
+            # change across jaxlib builds even at the same jax version
+            # (ADVICE r3) — a mismatch must start a fresh dir, because the
+            # stale-entry failure mode is a hard SIGABRT mid-suite
+            getattr(jaxlib, "__version__", ""),
+            getattr(jax.lib, "xla_extension_version", "")]
     try:
         with open("/proc/cpuinfo") as f:
             txt = f.read()
@@ -64,6 +72,24 @@ _cache_dir = os.path.expanduser(
     f"~/.cache/mog_test_jax_cache_{_host_fingerprint()}")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
+# GC stale fingerprint dirs (old hosts/toolchains never come back, and the
+# dir family would otherwise grow without bound — ADVICE r3): keep the
+# current dir plus the 2 most recently used others.
+try:
+    import shutil
+
+    _family = os.path.expanduser("~/.cache")
+    _siblings = sorted(
+        (d for d in os.listdir(_family)
+         if d.startswith("mog_test_jax_cache_")
+         and os.path.join(_family, d) != _cache_dir),
+        key=lambda d: os.path.getmtime(os.path.join(_family, d)),
+        reverse=True)
+    for _d in _siblings[2:]:
+        shutil.rmtree(os.path.join(_family, _d), ignore_errors=True)
+except OSError:
+    pass
 # Persist even sub-second compiles: the suite compiles hundreds of small
 # jits (inits, eval fns) whose 0.5-5 s costs add up once the big train
 # steps are cached. Measured (full warm suite, 1-core shared host):

@@ -29,9 +29,17 @@ V5E_PEAK_FLOPS = 197e12   # bf16 TFLOP/s
 V5E_HBM_BPS = 819e9       # HBM bandwidth, bytes/s
 
 
-def _cost_analysis(jitted, *args):
+def _compile(jitted, *args):
+    """AOT-compile ONCE and reuse the executable for both cost analysis
+    and the timing loop — lowering separately from the timed jit calls
+    paid a second full compile per variant on the tunneled TPU (1-5 min
+    each, and the tunnel occasionally wedges; ADVICE r3)."""
+    return jitted.lower(*args).compile()
+
+
+def _cost_analysis(compiled):
     """XLA's own FLOP + bytes-accessed count for one compiled step."""
-    cost = jitted.lower(*args).compile().cost_analysis()
+    cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     return (float(cost.get("flops", 0.0)),
@@ -85,8 +93,9 @@ def _bench_stage1(cfg, name, bs):
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg, bs).items()}
     step = jax.jit(make_train_step(cfg, g, d), donate_argnums=(0,))
     lr = jnp.float32(2e-4)
-    flops, bytes_acc = _cost_analysis(step, state, batch, rng, lr, lr)
-    dt = _sync_time(lambda s: step(s, batch, rng, lr, lr), (state,),
+    compiled = _compile(step, state, batch, rng, lr, lr)
+    flops, bytes_acc = _cost_analysis(compiled)
+    dt = _sync_time(lambda s: compiled(s, batch, rng, lr, lr), (state,),
                     sync_key="d_loss")
     return _roofline({"variant": name, "batch": bs,
                       "step_ms": round(dt * 1000, 2),
@@ -145,9 +154,9 @@ def bench_stage2():
             rs.randn(bs, s1_cfg.text_dim).astype(np.float32)),
     }
     lr = jnp.float32(2e-4)
-    flops, bytes_acc = _cost_analysis(step, state, s1_vars, batch, rng,
-                                      lr, lr)
-    dt = _sync_time(lambda s: step(s, s1_vars, batch, rng, lr, lr),
+    compiled = _compile(step, state, s1_vars, batch, rng, lr, lr)
+    flops, bytes_acc = _cost_analysis(compiled)
+    dt = _sync_time(lambda s: compiled(s, s1_vars, batch, rng, lr, lr),
                     (state,))
     return _roofline({"variant": "coco-stackgan-2", "batch": bs,
                       "step_ms": round(dt * 1000, 2),
@@ -203,9 +212,9 @@ def bench_attngan():
         "class_ids": jnp.arange(bs, dtype=jnp.int32),
     }
     lr = jnp.float32(2e-4)
-    flops, bytes_acc = _cost_analysis(step, state, enc_vars, batch, rng,
-                                      lr, lr)
-    dt = _sync_time(lambda s: step(s, enc_vars, batch, rng, lr, lr),
+    compiled = _compile(step, state, enc_vars, batch, rng, lr, lr)
+    flops, bytes_acc = _cost_analysis(compiled)
+    dt = _sync_time(lambda s: compiled(s, enc_vars, batch, rng, lr, lr),
                     (state,), sync_key="d_loss_d64")
     return _roofline({"variant": "coco-attngan", "batch": bs,
                       "step_ms": round(dt * 1000, 2),
