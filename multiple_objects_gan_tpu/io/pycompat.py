@@ -29,8 +29,11 @@ import pickle
 from typing import Any
 
 
-def load_pickle(path: str) -> Any:
-    """Load a pickle file written by either Python 2 or Python 3.
+def load_pickle_diag(path: str) -> tuple:
+    """Like :func:`load_pickle` but returns ``(obj, stage)`` where stage
+    is ``"py3"`` / ``"utf-8"`` / ``"latin1"`` — which decode attempt
+    succeeded (tools/check_dataset.py reports it so first contact with a
+    published py2 file is a diagnosis, not a traceback).
 
     Catches ``ValueError`` (superclass of ``UnicodeDecodeError``) on the
     first two attempts: a py2 binary buffer that *happens* to decode as
@@ -40,16 +43,21 @@ def load_pickle(path: str) -> Any:
     """
     with open(path, "rb") as f:
         try:
-            return pickle.load(f)
+            return pickle.load(f), "py3"
         except ValueError:
             pass
         f.seek(0)
         try:
-            return pickle.load(f, encoding="utf-8")
+            return pickle.load(f, encoding="utf-8"), "utf-8"
         except ValueError:
             pass
         f.seek(0)
-        return pickle.load(f, encoding="latin1")
+        return pickle.load(f, encoding="latin1"), "latin1"
+
+
+def load_pickle(path: str) -> Any:
+    """Load a pickle file written by either Python 2 or Python 3."""
+    return load_pickle_diag(path)[0]
 
 
 def torch_load(path: str, map_location: str = "cpu") -> Any:
