@@ -109,3 +109,33 @@ def test_trend_fid_discriminates():
     # grayscale inputs route through the rgb() repeat
     g = real[..., :1]
     assert _fid(g, g.copy() * 0.2 - 0.5) > 1.0
+
+
+def test_trend_encoder_contract_pinned():
+    """CONTRACT PIN (VERDICT r3 next #8): the ROADMAP fid_trend numbers
+    (mnist 39.9->0.34, clevr 37->0.6, stackgan-1 25->0.3, attngan
+    29->1.5) are comparable ONLY under exactly this encoder architecture
+    + seed. Checksums the PRNGKey(0) parameters AND a feature vector on a
+    fixed input; if you change make_trend_encoder, re-measure the pinned
+    numbers on TPU and update BOTH ROADMAP and these constants."""
+    import jax
+    import jax.numpy as jnp
+
+    from validate_learning import make_trend_encoder
+
+    enc_vars, feat = make_trend_encoder(64)
+    leaves = jax.tree_util.tree_leaves(enc_vars)
+    assert sum(l.size for l in leaves) == 165600
+    param_abs_sum = float(sum(float(jnp.sum(jnp.abs(l))) for l in leaves))
+    np.testing.assert_allclose(param_abs_sum, 4605.043594360352, rtol=1e-5)
+
+    rs = np.random.RandomState(42)
+    x = jnp.asarray(rs.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    f = np.asarray(feat(enc_vars, x))
+    assert f.shape == (2, 448)
+    np.testing.assert_allclose(float(np.abs(f).sum()), 144.34774780273438,
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        f[0, :4],
+        [0.17380394041538239, 0.15794917941093445,
+         0.16780903935432434, 0.1698075830936432], rtol=1e-4)

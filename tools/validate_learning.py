@@ -90,25 +90,25 @@ def _glob_images(*dirs) -> list:
     return files
 
 
-def _fid(real: np.ndarray, fake: np.ndarray, batch: int = 16) -> float:
-    """FID over SHALLOW random conv features: absolute values are only
-    self-comparable, which is all a TREND check needs (same encoder +
-    same real set + same z/layouts at every checkpoint, so differences
-    come from the generator alone). A random-init DEEP backbone is the
-    wrong tool here — measured: 40+ layers of untrained convs collapse
-    every input to near-identical activations (FID ~6e-5 between white
-    noise and dark images), so the trend reads 0.0 everywhere. Four
-    strided convs with unit-gain orthogonal init keep the features
-    discriminative (multi-scale mean+std pooling, 384-dim)."""
+def _rgb(x):
+    x = np.asarray(x, np.float32)
+    return np.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+
+def make_trend_encoder(size: int):
+    """The trend-FID feature encoder: CONTRACT-PINNED.
+
+    Three strided 4x4 convs (32/64/128, orthogonal init, PRNGKey(0)) with
+    leaky-relu 0.2 and multi-scale mean+std pooling (448-dim). The ROADMAP
+    trend numbers (mnist 39.9->0.34 etc.) are only comparable to runs
+    using EXACTLY this architecture + seed; tests/test_validate_tool.py::
+    test_trend_encoder_contract_pinned checksums the params AND a feature
+    vector, so any edit here fails the suite until the pinned numbers are
+    re-measured (VERDICT r3 weak #7/next #8). Returns (enc_vars, feat_fn).
+    """
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
-
-    from multiple_objects_gan_tpu.utils.metrics import fid_from_activations
-
-    def rgb(x):
-        x = np.asarray(x, np.float32)
-        return np.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
     class _RandFeat(nn.Module):
         @nn.compact
@@ -122,13 +122,30 @@ def _fid(real: np.ndarray, fake: np.ndarray, batch: int = 16) -> float:
             return jnp.concatenate(feats, axis=-1)
 
     enc = _RandFeat()
-    size = rgb(real).shape[1]
     enc_vars = jax.jit(lambda r: enc.init(
         r, jnp.zeros((2, size, size, 3))))(jax.random.PRNGKey(0))
     feat = jax.jit(lambda v, x: enc.apply(v, x).astype(jnp.float32))
+    return enc_vars, feat
+
+
+def _fid(real: np.ndarray, fake: np.ndarray, batch: int = 16) -> float:
+    """FID over SHALLOW random conv features: absolute values are only
+    self-comparable, which is all a TREND check needs (same encoder +
+    same real set + same z/layouts at every checkpoint, so differences
+    come from the generator alone). A random-init DEEP backbone is the
+    wrong tool here — measured: 40+ layers of untrained convs collapse
+    every input to near-identical activations (FID ~6e-5 between white
+    noise and dark images), so the trend reads 0.0 everywhere. Encoder:
+    :func:`make_trend_encoder` (contract-pinned)."""
+    import jax.numpy as jnp
+
+    from multiple_objects_gan_tpu.utils.metrics import fid_from_activations
+
+    size = _rgb(real).shape[1]
+    enc_vars, feat = make_trend_encoder(size)
 
     def acts(imgs):
-        imgs = rgb(imgs)
+        imgs = _rgb(imgs)
         out = [np.asarray(feat(enc_vars, jnp.asarray(imgs[i:i + batch])),
                           np.float32)
                for i in range(0, len(imgs), batch)]
