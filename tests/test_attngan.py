@@ -207,6 +207,52 @@ def test_attngan_train_step():
     assert not np.allclose(np.asarray(ema_before), np.asarray(ema_after))
 
 
+def test_attngan_train_step_branch3():
+    """The PRODUCTION configuration (cfg/coco_attn_train.yml BRANCH_NUM=3,
+    ref code/coco/attngan/cfg/coco_train.yml): D64+D128+D256 and both
+    NEXT_STAGE_Gs composed into one train step (trainer.py:303-318).
+    Tiny widths; asserts d256 losses and a 256px top scale."""
+    cfg3 = dataclasses.replace(CFG, branch_num=3)
+    g = GNet(cfg3)
+    d_modules = {"d64": DNet64(cfg3), "d128": DNetScale(cfg3, scale=128),
+                 "d256": DNetScale(cfg3, scale=256)}
+    text_enc = RNNEncoder(ntoken=20, ninput=8, nhidden=cfg3.embedding_dim)
+    image_enc = TinyImageEncoder()
+    rng = jax.random.PRNGKey(0)
+    caps, lens = _text_batch(4)
+    enc_vars = {"text": text_enc.init(rng, caps, lens, train=False),
+                "image": image_enc.init(rng)}
+    state = create_attngan_state(cfg3, g, d_modules, rng, batch_size=2,
+                                 seq_len=T)
+    assert "d256" in state.d_params
+    step = jax.jit(make_attngan_train_step(cfg3, g, d_modules, text_enc,
+                                           image_enc))
+    rng2 = np.random.RandomState(1)
+    bbox = np.tile(np.array([0.2, 0.2, 0.4, 0.4], np.float32), (4, 3, 1))
+    labels = np.zeros((4, 3, 81), np.float32)
+    labels[:, :, 2] = 1.0
+    batch = {
+        "image64": jnp.asarray(rng2.randn(4, 64, 64, 3).astype(np.float32)),
+        "image128": jnp.asarray(
+            rng2.randn(4, 128, 128, 3).astype(np.float32)),
+        "image256": jnp.asarray(
+            rng2.randn(4, 256, 256, 3).astype(np.float32)),
+        "captions": caps, "cap_lens": lens,
+        "class_ids": jnp.arange(4, dtype=jnp.int32),
+        "bbox": jnp.asarray(bbox), "label_onehot": jnp.asarray(labels),
+    }
+    d256_before = np.asarray(jax.tree.leaves(state.d_params["d256"])[0])
+    state, metrics = step(state, enc_vars, batch, jax.random.PRNGKey(5),
+                          jnp.float32(2e-4), jnp.float32(2e-4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert {"d_loss_d64", "d_loss_d128", "d_loss_d256", "w_loss",
+            "s_loss", "kl_loss"} <= set(metrics)
+    # d256 params actually moved (the third branch is in the update path)
+    d256_after = np.asarray(jax.tree.leaves(state.d_params["d256"])[0])
+    assert not np.allclose(d256_before, d256_after)
+
+
 def test_gnet_b_dcgan_single_head():
     """G_DCGAN ablation (model.py:531-571; upstream call is broken — we
     wire the single-image-head path correctly via GAN.B_DCGAN)."""
