@@ -26,7 +26,7 @@ from multiple_objects_gan_tpu.losses.damsm import sent_loss, words_loss
 from multiple_objects_gan_tpu.losses.gan import kl_loss
 from multiple_objects_gan_tpu.models.attngan import AttnGanConfig
 from multiple_objects_gan_tpu.train.state import GANTrainState
-from multiple_objects_gan_tpu.train.step import make_optimizer
+from multiple_objects_gan_tpu.train.step import make_optimizer, maybe_remat
 from multiple_objects_gan_tpu.utils.images import as_model_image
 
 Array = jax.Array
@@ -204,8 +204,11 @@ def make_attngan_train_step(cfg: AttnGanConfig, g_module, d_modules: dict,
                     "logvar": out["logvar"]}
             return prim, new_vars["batch_stats"]
 
-        prim, g_vjp, g_stats_new = jax.vjp(g_fwd, state.g_params,
-                                           has_aux=True)
+        # MOG_REMAT: see train/step.py:maybe_remat (measured losing on
+        # this step too — ROADMAP "Remat policy A/B"; knob kept for
+        # beyond-reference widths where activations outgrow HBM)
+        prim, g_vjp, g_stats_new = jax.vjp(maybe_remat(g_fwd),
+                                           state.g_params, has_aux=True)
 
         # ---- per-scale D updates --------------------------------------
         d_params_new, d_opt_new, d_stats_new = {}, {}, {}
@@ -223,7 +226,8 @@ def make_attngan_train_step(cfg: AttnGanConfig, g_module, d_modules: dict,
                     with_uncond=True)
 
             (err_d, stats), grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.d_params[name])
+                maybe_remat(d_loss_fn), has_aux=True)(
+                state.d_params[name])
             upd, d_opt_new[name] = tx.update(
                 grads, state.d_opt[name], state.d_params[name])
             d_params_new[name] = optax.apply_updates(
@@ -275,7 +279,7 @@ def make_attngan_train_step(cfg: AttnGanConfig, g_module, d_modules: dict,
             return total, (stats_out, aux)
 
         (err_g, (d_stats_final, g_aux)), prim_bar = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(prim)
+            maybe_remat(g_loss_fn), has_aux=True)(prim)
         (g_grads,) = g_vjp(prim_bar)
         g_upd, g_opt_new = tx.update(g_grads, state.g_opt, state.g_params)
         g_params_new = optax.apply_updates(

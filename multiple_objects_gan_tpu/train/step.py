@@ -48,12 +48,38 @@ from multiple_objects_gan_tpu.utils.images import as_model_image
 Array = jax.Array
 
 
-def _remat_enabled() -> bool:
-    """MOG_REMAT=1 rematerializes the G forward in its backward (read at
-    trace time). Measured on TPU v5e (mnist step, bs 128, bf16): 18.7 ->
-    24.4 ms — the recompute cost is NOT paid back, so the saved-activation
-    traffic is not the bandwidth bottleneck; default stays off."""
-    return os.environ.get("MOG_REMAT", "0").lower() in ("1", "true", "on")
+def maybe_remat(fn):
+    """Apply the MOG_REMAT rematerialization policy to a differentiated
+    function (read at TRACE time). Values:
+
+      * ``0`` (default) — save everything (no remat);
+      * ``full``/``1`` — ``jax.checkpoint`` with nothing saved: recompute
+        the whole forward in the backward;
+      * ``convs`` — save conv/dot outputs, rematerialize everything else
+        (BN normalization, activations): the textbook
+        recompute-elementwise-for-bytes policy on an HBM-bound conv net;
+      * ``dots`` — ``jax.checkpoint_policies.dots_saveable`` (dot_general
+        only; convs recomputed).
+
+    Measured on TPU v5e (tools/spike_remat.py, bf16, real chip): every
+    policy LOSES on these steps — the saved-activation traffic is not the
+    bandwidth bottleneck (it is intra-conv); see ROADMAP "Remat policy
+    A/B". Knob kept for bigger-than-reference configs where activations
+    stop fitting HBM."""
+    mode = os.environ.get("MOG_REMAT", "0").lower()
+    if mode in ("", "0", "false", "off"):
+        return fn
+    if mode in ("1", "true", "on", "full"):
+        return jax.checkpoint(fn)
+    if mode == "dots":
+        return jax.checkpoint(fn,
+                              policy=jax.checkpoint_policies.dots_saveable)
+    if mode == "convs":
+        def conv_saveable(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+
+        return jax.checkpoint(fn, policy=conv_saveable)
+    raise ValueError(f"MOG_REMAT={mode!r}: expected 0|full|convs|dots")
 
 
 def make_optimizer() -> optax.GradientTransformation:
@@ -177,7 +203,7 @@ def _fused_alternating_step(tx, state: GANTrainState, g_fwd, d_module,
         return err_d, (s["batch_stats"], aux)
 
     (err_d, (d_stats_new, d_aux)), d_grads = jax.value_and_grad(
-        d_loss_fn, has_aux=True)(state.d_params)
+        maybe_remat(d_loss_fn), has_aux=True)(state.d_params)
     d_updates, d_opt_new = tx.update(d_grads, state.d_opt, state.d_params)
     d_params_new = optax.apply_updates(
         state.d_params, jax.tree.map(lambda u: -lr_d * u, d_updates))
@@ -208,7 +234,7 @@ def _fused_alternating_step(tx, state: GANTrainState, g_fwd, d_module,
         return total, (s["batch_stats"], aux)
 
     (err_g, (d_stats_final, g_aux)), prim_bar = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(prim)
+        maybe_remat(g_loss_fn), has_aux=True)(prim)
     (g_grads,) = g_vjp(prim_bar)
     g_updates, g_opt_new = tx.update(g_grads, state.g_opt, state.g_params)
     g_params_new = optax.apply_updates(
@@ -260,13 +286,12 @@ def make_train_step(cfg: Stage1Config, g_module, d_module,
                 prim["logvar"] = out["logvar"]
             return prim, new_vars["batch_stats"]
 
-        # MOG_REMAT=1: recompute the G forward during its backward instead
-        # of loading saved activations — the step sits at the HBM roofline
-        # with the MXU ~1/3 idle, so trading FLOPs for bytes can pay
-        g_fwd_maybe_remat = (jax.checkpoint(g_fwd) if _remat_enabled()
-                             else g_fwd)
+        # MOG_REMAT: recompute activations during the backward instead of
+        # loading saved ones — the step sits at the HBM roofline with the
+        # MXU ~1/3 idle, so trading FLOPs for bytes could pay (it does
+        # not, measured; see maybe_remat)
         return _fused_alternating_step(
-            tx, state, g_fwd_maybe_remat, d_module, image, (labels, bbox),
+            tx, state, maybe_remat(g_fwd), d_module, image, (labels, bbox),
             lambda prim: _cond(cfg, labels, prim.get("mu")),
             use_uncond=cfg.use_uncond_head,
             kl_coeff=kl_coeff if cfg.use_ca else None,
