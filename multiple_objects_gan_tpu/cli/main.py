@@ -85,6 +85,31 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def check_resume_flags(resume_dir: str, **current) -> list:
+    """Compare the trace-time knobs against the resumed run's
+    run_flags.json; warn per mismatch (a resumed run that forgets
+    --bn_groups/--bf16 silently changes training dynamics — ADVICE r3).
+    Returns the mismatched keys (for tests)."""
+    import json
+    import warnings
+
+    path = os.path.join(resume_dir, "run_flags.json")
+    if not os.path.isfile(path):
+        return []
+    with open(path) as f:
+        prev = json.load(f)
+    mismatched = []
+    for key, cur in current.items():
+        if key in prev and prev[key] != cur:
+            mismatched.append(key)
+            warnings.warn(
+                f"--resume: {key} differs from the original run "
+                f"({prev[key]!r} -> {cur!r}) — training dynamics will "
+                "change mid-run; re-pass the original flag unless this "
+                "is intentional", UserWarning)
+    return mismatched
+
+
 def main(argv=None):
     args = parse_args(argv)
     # multi-host slices: join the JAX distributed runtime BEFORE any
@@ -144,11 +169,14 @@ def main(argv=None):
     # record the trace-time knobs next to the cfg snapshot: --bn_groups /
     # --bf16 change training dynamics but live outside the yml, so a
     # resumed run that forgets them would silently train differently
-    # (ADVICE r3). Readers: humans resuming a run + nn/blocks warnings.
+    # (ADVICE r3). Readers: the --resume check below + nn/blocks warnings.
     import json as _json
     with open(os.path.join(output_dir, "run_flags.json"), "w") as _f:
         _json.dump({"bn_groups": args.bn_groups, "bf16": bool(args.bf16),
                     "variant": args.variant, "manualSeed": seed}, _f)
+    if args.resume:
+        check_resume_flags(args.resume, bn_groups=args.bn_groups,
+                           bf16=bool(args.bf16))
     # source snapshot (code/multi-mnist/main.py:71-76, attngan
     # main.py:144-151): the reference copies main/trainer/model/utils/
     # datasets + cfg into the output dir so every run is reproducible;

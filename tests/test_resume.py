@@ -61,3 +61,33 @@ def test_final_epoch_always_snapshotted(tmp_path):
     epochs = sorted(d for d in os.listdir(model_dir)
                     if d.split(".")[0].isdigit())
     assert epochs == ["1"], epochs  # only the final epoch
+
+
+def test_resume_flag_mismatch_warns(tmp_path):
+    """run_flags.json records --bn_groups/--bf16; resuming with different
+    trace-time knobs must warn (they silently change training dynamics —
+    ADVICE r3)."""
+    import json
+    import warnings
+
+    import pytest
+
+    from multiple_objects_gan_tpu.cli.main import check_resume_flags
+
+    prev = tmp_path / "prev_run"
+    prev.mkdir()
+    with open(prev / "run_flags.json", "w") as f:
+        json.dump({"bn_groups": 2, "bf16": True, "variant": "multi-mnist",
+                   "manualSeed": 7}, f)
+
+    with pytest.warns(UserWarning, match="bn_groups differs"):
+        got = check_resume_flags(str(prev), bn_groups=None, bf16=True)
+    assert got == ["bn_groups"]
+    with pytest.warns(UserWarning, match="bf16 differs"):
+        check_resume_flags(str(prev), bn_groups=2, bf16=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert check_resume_flags(str(prev), bn_groups=2, bf16=True) == []
+        # no run_flags.json (pre-round-4 output dir): silent no-op
+        assert check_resume_flags(str(tmp_path), bn_groups=None,
+                                  bf16=False) == []
