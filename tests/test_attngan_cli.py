@@ -8,6 +8,7 @@ runs sample(), else gen_example); sample() = trainer.py:474-579.
 import json
 import os
 
+import numpy as np
 import pytest
 
 from multiple_objects_gan_tpu.cli.main import main
@@ -159,3 +160,30 @@ def test_attngan_sampling_metrics(attn_env):
     # imported DAMSM weights + torchvision head says "imported")
     assert m["is_head"] == "random"
     assert m["fid_encoder"] == "random"
+
+
+def test_attngan_sampling_canonical_fid(attn_env, tmp_path, monkeypatch):
+    """$FID_INCEPTION_WEIGHTS routes sampling()'s FID through the
+    canonical pytorch-fid encoder: eval_metrics.json must record
+    fid_encoder == "fid_canonical" and still produce finite metrics
+    (IS stays on the DAMSM-compatible backbone)."""
+    import torch
+
+    from test_fid_inception import (
+        FIDInceptionTorch, _randomize, _save_sd_with_head_keys)
+
+    root, _, eval_yml = attn_env
+    pth = tmp_path / "pt_inception_rand.pth"
+    torch.manual_seed(0)
+    _save_sd_with_head_keys(_randomize(FIDInceptionTorch(), seed=11).eval(),
+                            str(pth))
+    monkeypatch.setenv("FID_INCEPTION_WEIGHTS", str(pth))
+    out = str(root / "out_dump_canonical")
+    main(["--variant", "coco-attngan", "--cfg", eval_yml,
+          "--output_dir", out, "--manualSeed", "7",
+          "--eval_mode", "sampling"])
+    with open(os.path.join(out, "eval_metrics.json")) as f:
+        m = json.load(f)
+    assert m["fid_encoder"] == "fid_canonical"
+    assert np.isfinite(m["fid"]) and m["fid"] >= 0.0
+    assert m["inception_score_mean"] >= 1.0
