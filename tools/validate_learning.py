@@ -355,11 +355,23 @@ def main(argv=None):
                    help="synthetic dataset size (0 = variant default)")
     p.add_argument("--fid_images", type=int, default=128,
                    help="real-side image count for the FID trend")
+    p.add_argument("--workdir", default="",
+                   help="persistent work dir (default: fresh tempdir) — "
+                        "keeps the per-epoch sample grids and checkpoints "
+                        "for inspection (convergence-run artifacts)")
+    p.add_argument("--export_pth", default="",
+                   help="after the final segment, export the trained G as "
+                        "a reference-format .pth here (stage-1 family "
+                        "variants only)")
     args = p.parse_args(argv)
 
     from multiple_objects_gan_tpu.cli.main import main as cli_main
 
-    work = tempfile.mkdtemp(prefix=f"validate_{args.variant}_")
+    if args.workdir:
+        work = os.path.abspath(args.workdir)
+        os.makedirs(work, exist_ok=True)
+    else:
+        work = tempfile.mkdtemp(prefix=f"validate_{args.variant}_")
     data_dir = os.path.join(work, "data")
     out_dir = os.path.join(work, "out")
     n = args.n or {"mnist": 5120, "clevr": 2560, "coco-stackgan-1": 2048,
@@ -444,9 +456,25 @@ def main(argv=None):
         print(f"FID @ epoch {e}: {fid_points[-1][1]:.2f}", flush=True)
         prev = seg_out
 
+    exported = ""
+    if args.export_pth:
+        fam_variant = {"mnist": "multi-mnist", "clevr": "clevr",
+                       "coco-stackgan-1": "coco-stackgan"}.get(args.variant)
+        if fam_variant is None:
+            print(f"--export_pth: unsupported for {args.variant} (use "
+                  "tools/export_checkpoint.py stage2/attngan directly)",
+                  flush=True)
+        else:
+            from export_checkpoint import main as export_main
+            export_main(["stage1", "--variant", fam_variant,
+                         "--cfg", cfg_file, "--ckpt", prev,
+                         "--out", args.export_pth])
+            exported = args.export_pth
+
     in_box, out_box = _separation(imgs, bbox)
     fids = [f for _, f in fid_points]
     print(json.dumps({
+        "workdir": work, "exported_pth": exported,
         "variant": args.variant, "epochs": args.epochs,
         "in_box": round(in_box, 3), "out_box": round(out_box, 3),
         "separation": round(in_box - out_box, 3),
