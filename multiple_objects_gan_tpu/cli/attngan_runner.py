@@ -483,10 +483,12 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
         fake_acts.append(inception_activations(fid_enc, fid_vars,
                                                imgs[:take]))
         real_acts.append(inception_activations(fid_enc, fid_vars, reals))
-        if fid_prov == "fid_canonical":
+        if fid_prov == "fid_canonical" and damsm_prov == "damsm":
             # IS stays on the DAMSM backbone (its 2048-d pool matches the
             # torchvision fc head resolve_inception_fc imports); FID acts
-            # above come from the canonical encoder
+            # above come from the canonical encoder. Skipped when the
+            # DAMSM weights are random — that sweep would only re-dress
+            # noise (is_backbone below records it)
             is_acts.append(inception_activations(
                 image_enc, enc_vars["image"], imgs[:take]))
         for i in range(take):
@@ -501,6 +503,10 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     real_acts = np.concatenate(real_acts)
     fid = fid_from_activations(real_acts, fake_acts)
     fc, is_head = resolve_inception_fc()
+    is_backbone = "imported" if damsm_prov == "damsm" else "random"
+    if is_backbone == "random" or is_head == "random":
+        print("WARNING: IS is not comparable to published numbers "
+              f"(backbone={is_backbone}, head={is_head})", flush=True)
     is_mean, is_std = inception_score(
         image_enc, enc_vars["image"],
         acts=np.concatenate(is_acts) if is_acts else fake_acts, fc=fc)
@@ -509,10 +515,11 @@ def sampling(args, cfg, ds, mcfg, g, d_modules, text_enc, image_enc,
     with open(os.path.join(output_dir, "eval_metrics.json"), "w") as f:
         # provenance: a consumer must be able to tell a real metric from a
         # placeholder-weight run (is_head: the 1000-class IS classifier;
+        # is_backbone: the Inception features under it;
         # fid_encoder: the Inception backbone behind both FID sides)
         json.dump({"fid": fid, "inception_score_mean": is_mean,
                    "inception_score_std": is_std, "n_images": written,
-                   "is_head": is_head,
+                   "is_head": is_head, "is_backbone": is_backbone,
                    "fid_encoder": fid_prov}, f)
     return out_dir
 

@@ -110,6 +110,30 @@ def check_resume_flags(resume_dir: str, **current) -> list:
     return mismatched
 
 
+def record_run_flags(output_dir: str, resume: str | None, **flags) -> str:
+    """Check-then-record the trace-time knobs (--bn_groups/--bf16/...).
+
+    Order matters: on an in-place resume (--resume == --output_dir) the
+    mismatch check must read the ORIGINAL run's run_flags.json before
+    anything overwrites it, and the original record is preserved so later
+    resumes still compare against the run's true origin.
+    Returns the run_flags.json path (for tests)."""
+    import json
+
+    if resume:
+        check_resume_flags(resume, **{k: flags[k]
+                                      for k in ("bn_groups", "bf16")
+                                      if k in flags})
+    path = os.path.join(output_dir, "run_flags.json")
+    in_place_resume = bool(
+        resume and os.path.isfile(path) and os.path.isdir(resume)
+        and os.path.samefile(resume, output_dir))
+    if not in_place_resume:
+        with open(path, "w") as f:
+            json.dump(flags, f)
+    return path
+
+
 def main(argv=None):
     args = parse_args(argv)
     # multi-host slices: join the JAX distributed runtime BEFORE any
@@ -170,13 +194,9 @@ def main(argv=None):
     # --bf16 change training dynamics but live outside the yml, so a
     # resumed run that forgets them would silently train differently
     # (ADVICE r3). Readers: the --resume check below + nn/blocks warnings.
-    import json as _json
-    with open(os.path.join(output_dir, "run_flags.json"), "w") as _f:
-        _json.dump({"bn_groups": args.bn_groups, "bf16": bool(args.bf16),
-                    "variant": args.variant, "manualSeed": seed}, _f)
-    if args.resume:
-        check_resume_flags(args.resume, bn_groups=args.bn_groups,
-                           bf16=bool(args.bf16))
+    record_run_flags(output_dir, args.resume,
+                     bn_groups=args.bn_groups, bf16=bool(args.bf16),
+                     variant=args.variant, manualSeed=seed)
     # source snapshot (code/multi-mnist/main.py:71-76, attngan
     # main.py:144-151): the reference copies main/trainer/model/utils/
     # datasets + cfg into the output dir so every run is reproducible;

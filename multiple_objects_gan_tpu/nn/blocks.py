@@ -54,6 +54,16 @@ def _mark_knobs_read() -> None:
     _KNOBS_READ = True
 
 
+def compute_dtype() -> Optional[jnp.dtype]:
+    """Read COMPUTE_DTYPE at trace time, recording that a knob was read so
+    a later set_compute_dtype()/set_bn_groups() warns about stale cached
+    executables. EVERY model-side read (incl. eval/init traces) must go
+    through here — the marker used to live only in TorchBatchNorm's train
+    branch, which missed eval-only jits entirely (round-4 review)."""
+    _mark_knobs_read()
+    return COMPUTE_DTYPE
+
+
 def _warn_if_late(name: str) -> None:
     if _KNOBS_READ:
         import warnings
@@ -140,7 +150,7 @@ class object_fold:
 def conv_dt(*args, **kwargs):
     """nn.Conv bound to COMPUTE_DTYPE (param trees unchanged — flax names
     still derive from the Conv class)."""
-    return nn.Conv(*args, dtype=COMPUTE_DTYPE, **kwargs)
+    return nn.Conv(*args, dtype=compute_dtype(), **kwargs)
 
 
 # --- initializers matching the reference's weights_init ---------------------
@@ -390,7 +400,7 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                       padding=1, use_bias=False, dtype=COMPUTE_DTYPE,
+                       padding=1, use_bias=False, dtype=compute_dtype(),
                        kernel_init=self.kernel_init)(x)
 
 
@@ -403,7 +413,7 @@ class Conv1x1(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Conv(self.features, (1, 1), use_bias=False,
-                       dtype=COMPUTE_DTYPE,
+                       dtype=compute_dtype(),
                        kernel_init=self.kernel_init)(x)
 
 
@@ -451,6 +461,7 @@ class UpConv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, cin = x.shape
+        dt = compute_dtype()
         k = _ConvKernel(self.features, self.kernel_init, name="Conv_0")(cin)
         mode = os.environ.get("MOG_UPCONV", "dilated")
         # env read at trace time (like MOG_UPCONV) so post-import env
@@ -458,8 +469,8 @@ class UpConv3x3(nn.Module):
         phase_max_out = (self.phase_max_out if self.phase_max_out is not None
                          else int(os.environ.get("MOG_PHASE_MAX_OUT", "64")))
         if mode == "dilated":
-            kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
-            xx = x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE)
+            kk = k if dt is None else k.astype(dt)
+            xx = x if dt is None else x.astype(dt)
             r = jnp.stack([kk[0], kk[0] + kk[1], kk[1] + kk[2], kk[2]],
                           axis=0)
             k4 = jnp.stack([r[:, 0], r[:, 0] + r[:, 1],
@@ -468,9 +479,8 @@ class UpConv3x3(nn.Module):
                 xx, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if mode == "naive" or 2 * max(h, w) > phase_max_out:
-            kk = k if COMPUTE_DTYPE is None else k.astype(COMPUTE_DTYPE)
-            xx = upsample_nearest_2x(
-                x if COMPUTE_DTYPE is None else x.astype(COMPUTE_DTYPE))
+            kk = k if dt is None else k.astype(dt)
+            xx = upsample_nearest_2x(x if dt is None else x.astype(dt))
             return jax.lax.conv_general_dilated(
                 xx, kk, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -490,9 +500,9 @@ class UpConv3x3(nn.Module):
             [colmix(ky0, 0), colmix(ky0, 1),
              colmix(ky1, 0), colmix(ky1, 1)], axis=-1)      # (2,2,ci,4co)
 
-        if COMPUTE_DTYPE is not None:
-            x = x.astype(COMPUTE_DTYPE)
-            kall = kall.astype(COMPUTE_DTYPE)
+        if dt is not None:
+            x = x.astype(dt)
+            kall = kall.astype(dt)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         out = jax.lax.conv_general_dilated(
             xp, kall, (1, 1), "VALID",
@@ -612,7 +622,7 @@ class DownBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         x = nn.Conv(self.features, (4, 4), strides=(2, 2), padding=1,
-                    use_bias=False, dtype=COMPUTE_DTYPE,
+                    use_bias=False, dtype=compute_dtype(),
                     kernel_init=self.kernel_init)(x)
         x = TorchBatchNorm()(x, train)
         return nn.leaky_relu(x, 0.2)
@@ -627,13 +637,14 @@ class EncodeImageBy16Times(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        dt = compute_dtype()
         x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=1,
-                    use_bias=False, dtype=COMPUTE_DTYPE,
+                    use_bias=False, dtype=dt,
                     kernel_init=self.kernel_init)(x)
         x = nn.leaky_relu(x, 0.2)
         for mult in (2, 4, 8):
             x = nn.Conv(self.ndf * mult, (4, 4), strides=(2, 2), padding=1,
-                        use_bias=False, dtype=COMPUTE_DTYPE,
+                        use_bias=False, dtype=dt,
                         kernel_init=self.kernel_init)(x)
             x = TorchBatchNorm()(x, train)
             x = nn.leaky_relu(x, 0.2)
@@ -650,5 +661,6 @@ class Dense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Dense(self.features, use_bias=self.use_bias,
-                        dtype=COMPUTE_DTYPE, kernel_init=self.kernel_init,
+                        dtype=compute_dtype(),
+                        kernel_init=self.kernel_init,
                         bias_init=nn.initializers.zeros)(x)

@@ -157,6 +157,10 @@ class BasicConv2d(nn.Module):
     # pins the block (the canonical FID encoder forces f32 so published-
     # number comparability never depends on --bf16)
     dtype: Optional[jnp.dtype] = None
+    # None -> backend-default matmul precision; the canonical FID encoder
+    # pins HIGHEST so the metric matches the pytorch-fid oracle on TPU
+    # (default conv precision there is bf16-ish)
+    precision: Optional[jax.lax.Precision] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -169,10 +173,11 @@ class BasicConv2d(nn.Module):
         # the backbone is a frozen feature extractor, so bf16 activations
         # here only touch the DAMSM-loss gradient path; CNNEncoder casts
         # its outputs back to f32 so loss math and FID stay f32
-        dtype = self.dtype if self.dtype is not None else blocks.COMPUTE_DTYPE
+        dtype = (self.dtype if self.dtype is not None
+                 else blocks.compute_dtype())
         x = nn.Conv(self.features, self.kernel,
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=False, dtype=dtype,
+                    use_bias=False, dtype=dtype, precision=self.precision,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=0.001,
                          momentum=0.9, dtype=dtype,
@@ -205,12 +210,18 @@ class InceptionA(nn.Module):
 
 
 class InceptionB(nn.Module):
+    # forwarded to every BasicConv2d: the canonical FID encoder reuses
+    # this block and must pin f32/HIGHEST (see nn/fid_inception.py)
+    dtype: Optional[jnp.dtype] = None
+    precision: Optional[jax.lax.Precision] = None
+
     @nn.compact
     def __call__(self, x, train=False):
-        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3")(x, train)
-        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x, train)
-        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(bd, train)
-        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3")(bd, train)
+        p = {"dtype": self.dtype, "precision": self.precision}
+        b3 = BasicConv2d(384, (3, 3), stride=2, name="branch3x3", **p)(x, train)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", **p)(x, train)
+        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", **p)(bd, train)
+        bd = BasicConv2d(96, (3, 3), stride=2, name="branch3x3dbl_3", **p)(bd, train)
         return jnp.concatenate([b3, bd, _max_pool3_s2(x)], axis=-1)
 
 
@@ -234,14 +245,19 @@ class InceptionC(nn.Module):
 
 
 class InceptionD(nn.Module):
+    # forwarded to every BasicConv2d (see InceptionB / nn/fid_inception.py)
+    dtype: Optional[jnp.dtype] = None
+    precision: Optional[jax.lax.Precision] = None
+
     @nn.compact
     def __call__(self, x, train=False):
-        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x, train)
-        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2")(b3, train)
-        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x, train)
-        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7, train)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7, train)
-        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4")(b7, train)
+        p = {"dtype": self.dtype, "precision": self.precision}
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1", **p)(x, train)
+        b3 = BasicConv2d(320, (3, 3), stride=2, name="branch3x3_2", **p)(b3, train)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1", **p)(x, train)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2", **p)(b7, train)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3", **p)(b7, train)
+        b7 = BasicConv2d(192, (3, 3), stride=2, name="branch7x7x3_4", **p)(b7, train)
         return jnp.concatenate([b3, b7, _max_pool3_s2(x)], axis=-1)
 
 

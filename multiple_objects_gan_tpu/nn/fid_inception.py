@@ -14,8 +14,11 @@ image encoder (nn/encoders.py). The deltas, mirrored exactly here:
   * weights come from pt_inception-2015-12-05 (a 1008-class fc, unused —
     FID reads the 2048-d pool3).
 
-Everything is pinned f32 (``BasicConv2d(dtype=jnp.float32)``) so the
-metric never depends on the --bf16 training knob. Input follows the repo
+Everything is pinned f32 AND ``Precision.HIGHEST``
+(``BasicConv2d(dtype=jnp.float32, precision=HIGHEST)``, including the
+reused Mixed_6a/Mixed_7a blocks) so the metric never depends on the
+--bf16 training knob or the backend's default (bf16-ish) matmul
+precision — CLAUDE.md's parity rule. Input follows the repo
 model-image convention, [-1, 1] NHWC at any size; the internal bilinear
 resize to 299 (half-pixel centers == torch align_corners=False) commutes
 with pytorch-fid's [0,1]-resize-then-normalize because both maps are
@@ -41,7 +44,7 @@ from multiple_objects_gan_tpu.nn.encoders import (
 
 Array = jax.Array
 
-_F32 = {"dtype": jnp.float32}
+_F32 = {"dtype": jnp.float32, "precision": jax.lax.Precision.HIGHEST}
 
 
 def _avg_pool3_nopad_count(x: Array) -> Array:
@@ -172,12 +175,12 @@ class FIDInceptionV3(nn.Module):
         x = FIDInceptionA(32, name="Mixed_5b")(x, train)
         x = FIDInceptionA(64, name="Mixed_5c")(x, train)
         x = FIDInceptionA(64, name="Mixed_5d")(x, train)
-        x = InceptionB(name="Mixed_6a")(x, train)
+        x = InceptionB(name="Mixed_6a", **_F32)(x, train)
         x = FIDInceptionC(128, name="Mixed_6b")(x, train)
         x = FIDInceptionC(160, name="Mixed_6c")(x, train)
         x = FIDInceptionC(160, name="Mixed_6d")(x, train)
         x = FIDInceptionC(192, name="Mixed_6e")(x, train)
-        x = InceptionD(name="Mixed_7a")(x, train)
+        x = InceptionD(name="Mixed_7a", **_F32)(x, train)
         x = FIDInceptionE("avg_nopad", name="Mixed_7b")(x, train)
         x = FIDInceptionE("max", name="Mixed_7c")(x, train)
         pool = jnp.mean(x, axis=(1, 2))               # adaptive avg -> (1,1)

@@ -51,6 +51,30 @@ def test_bf16_train_step_finite_f32_master_weights():
         blocks.set_compute_dtype(None)
 
 
+def test_late_knob_set_warns_after_eval_only_trace(monkeypatch):
+    """Setting a trace-time knob after ANY model trace — including an
+    eval/init-only one that never enters TorchBatchNorm's train branch —
+    must warn about stale cached executables (round-4 review: the read
+    marker used to live only in the BN train path)."""
+    import warnings
+
+    import pytest
+
+    monkeypatch.setattr(blocks, "_KNOBS_READ", False)
+    conv = blocks.Conv3x3(4)
+    x = jnp.zeros((1, 8, 8, 3))
+    v = jax.jit(conv.init)(jax.random.PRNGKey(0), x)  # eval-only trace
+    jax.jit(conv.apply)(v, x)
+    assert blocks._KNOBS_READ
+    try:
+        with pytest.warns(UserWarning, match="AFTER"):
+            blocks.set_compute_dtype(jnp.bfloat16)
+    finally:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            blocks.set_compute_dtype(None)
+
+
 def test_bf16_sample_fn_returns_f32():
     """Eval outputs must come back f32 under a bf16 compute dtype: NumPy
     keeps ml_dtypes bf16 through np.asarray and then ACCUMULATES

@@ -41,6 +41,25 @@ def test_mnist_healthy(mnist_dir, capsys):
     assert out["report"]["images_sampled"] >= 1
 
 
+def test_mnist_wrong_channel_count_warns(mnist_dir, tmp_path, capsys):
+    """RGB files in a grayscale-variant dir (or vice versa) are survivable
+    (loaders .convert()) but usually mean a wrong directory — the checker
+    must flag it as a warning while staying ok."""
+    import shutil
+
+    from PIL import Image
+
+    d = tmp_path / "m"
+    shutil.copytree(mnist_dir, d)
+    img_dir = d / "train" / "normal" / "imgs"
+    name = sorted(os.listdir(img_dir))[0]
+    Image.new("RGB", (64, 64), (10, 20, 30)).save(img_dir / name)
+    out = _run(capsys, "mnist", str(d))
+    assert out["ok"], out["errors"]
+    assert any("channels" in w for w in out["warnings"]), out["warnings"]
+    assert "RGB" in str(out["report"]["image_modes_sampled"])
+
+
 def test_mnist_py2_pickles_reported(mnist_dir, tmp_path, capsys):
     import shutil
 

@@ -113,6 +113,54 @@ def test_cli_end_to_end_stubbed(tmp_path, monkeypatch, capsys):
                       "n_real": 4, "n_fake": 3,
                       # provenance: no --image_encoder and no
                       # $INCEPTION_V3_WEIGHTS in the test env
-                      "is_head": "random", "fid_encoder": "random"}
-    last = capsys.readouterr().out.strip().splitlines()[-1]
+                      "is_head": "random", "is_backbone": "random",
+                      "fid_encoder": "random"}
+    out = capsys.readouterr().out
+    # random backbone/head: the not-publication-grade IS warning must print
+    assert "IS is not comparable" in out
+    last = out.strip().splitlines()[-1]
     assert json.loads(last) == result
+
+
+def test_canonical_fid_without_image_encoder_warns_and_skips_is_sweep(
+        tmp_path, monkeypatch, capsys):
+    """--fid_weights set but --image_encoder unset: IS would run on a
+    RANDOM DAMSM backbone — the warning must fire, is_backbone must say
+    'random', and no wasted second Inception sweep may run (regression:
+    the old fid_prov=='random'-only warning stayed silent here)."""
+    real, fake = str(tmp_path / "real"), str(tmp_path / "fake")
+    _write_images(real, 3, seed=0)
+    _write_images(fake, 3, seed=1)
+
+    calls = {"acts": 0}
+
+    def fake_acts(enc, enc_vars, images, batch):
+        calls["acts"] += 1
+        return np.full((images.shape[0], 4), 1.0, np.float32)
+
+    import multiple_objects_gan_tpu.utils.metrics as metrics
+    monkeypatch.setattr(metrics, "inception_activations", fake_acts)
+    monkeypatch.setattr(metrics, "fid_from_activations", lambda a, b: 1.0)
+    monkeypatch.setattr(metrics, "inception_score",
+                        lambda *a, **k: (2.0, 0.1))
+    monkeypatch.setattr(
+        metrics, "resolve_fid_encoder",
+        lambda enc, enc_vars, provenance=None: (enc, enc_vars,
+                                                "fid_canonical"))
+    monkeypatch.setenv("FID_INCEPTION_WEIGHTS", "stub.pth")
+
+    class _StubEnc:
+        def init(self, rng, img, train):
+            return {"params": {}}
+
+    import multiple_objects_gan_tpu.nn.encoders as encoders
+    monkeypatch.setattr(encoders, "CNNEncoder", lambda nef: _StubEnc())
+
+    eval_fid.main([real, fake, "--size", "24"])
+    out = capsys.readouterr().out
+    assert "IS is not comparable" in out
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["fid_encoder"] == "fid_canonical"
+    assert result["is_backbone"] == "random"
+    # exactly 2 sweeps (real + fake) — no third pass for a random-backbone IS
+    assert calls["acts"] == 2

@@ -159,9 +159,13 @@ def oracle_and_pth(tmp_path_factory):
     return oracle, str(pth)
 
 
-def test_fid_inception_pool3_parity(oracle_and_pth):
+def test_fid_inception_pool3_parity(oracle_and_pth, monkeypatch):
+    """Parity must hold with NO external precision context and with the
+    global --bf16 knob set: the module pins f32 + Precision.HIGHEST
+    internally (incl. the reused Mixed_6a/Mixed_7a blocks), so published-
+    number comparability never depends on caller-side configuration."""
+    from multiple_objects_gan_tpu.nn import blocks
     from multiple_objects_gan_tpu.nn.fid_inception import create_fid_encoder
-    from multiple_objects_gan_tpu.utils.metrics import inception_activations
 
     oracle, pth = oracle_and_pth
     rng = np.random.RandomState(7)
@@ -172,10 +176,14 @@ def test_fid_inception_pool3_parity(oracle_and_pth):
             np.transpose(x, (0, 3, 1, 2)))).numpy()
 
     module, variables = create_fid_encoder(pth)
-    with jax.default_matmul_precision("float32"):
-        j_pool = inception_activations(module, variables, x, batch_size=2)
+    # adversarial global knob: a fresh jit traces under bf16 COMPUTE_DTYPE
+    monkeypatch.setattr(blocks, "COMPUTE_DTYPE", jnp.bfloat16)
+    fwd = jax.jit(lambda v, xb: module.apply(v, xb, train=False,
+                                             return_pool=True)[2])
+    j_pool = np.asarray(fwd(variables, jnp.asarray(x)), np.float32)
 
     assert j_pool.shape == (2, 2048)
+    assert j_pool.dtype == np.float32
     # ~94 conv layers deep: allow small f32 accumulation drift
     np.testing.assert_allclose(j_pool, t_pool, atol=2e-3, rtol=2e-3)
 

@@ -36,9 +36,20 @@ def _tiny_step(monkeypatch, mode: str):
             jax.device_get(new_state.g_params))
 
 
+@pytest.fixture(scope="module")
+def baseline():
+    """One no-remat baseline for all modes: the suite is compile-bound
+    (CLAUDE.md) and the baseline trace is identical across parametrizations."""
+    mp = pytest.MonkeyPatch()
+    try:
+        yield _tiny_step(mp, "0")
+    finally:
+        mp.undo()
+
+
 @pytest.mark.parametrize("mode", ["full", "convs", "dots"])
-def test_remat_modes_match_baseline(monkeypatch, mode):
-    base_metrics, base_params = _tiny_step(monkeypatch, "0")
+def test_remat_modes_match_baseline(monkeypatch, baseline, mode):
+    base_metrics, base_params = baseline
     got_metrics, got_params = _tiny_step(monkeypatch, mode)
     assert set(got_metrics) == set(base_metrics)
     for k in base_metrics:

@@ -91,3 +91,43 @@ def test_resume_flag_mismatch_warns(tmp_path):
         # no run_flags.json (pre-round-4 output dir): silent no-op
         assert check_resume_flags(str(tmp_path), bn_groups=None,
                                   bf16=False) == []
+
+
+def test_record_run_flags_in_place_resume(tmp_path):
+    """An in-place resume (--resume == --output_dir) must (a) still fire
+    the mismatch warning — i.e. the check reads the original record before
+    any rewrite — and (b) preserve the original run_flags.json so future
+    resumes compare against the run's true origin."""
+    import json
+    import warnings
+
+    import pytest
+
+    from multiple_objects_gan_tpu.cli.main import record_run_flags
+
+    out = tmp_path / "run"
+    out.mkdir()
+    # original run writes its record
+    path = record_run_flags(str(out), None, bn_groups=2, bf16=True,
+                            variant="multi-mnist", manualSeed=7)
+    # in-place resume that FORGETS --bn_groups/--bf16: must warn...
+    with pytest.warns(UserWarning, match="differs"):
+        record_run_flags(str(out), str(out), bn_groups=None, bf16=False,
+                         variant="multi-mnist", manualSeed=7)
+    # ...and keep the original record intact
+    with open(path) as f:
+        assert json.load(f)["bn_groups"] == 2
+    # resume into a DIFFERENT output dir: new record written there, checked
+    # against the old dir
+    out2 = tmp_path / "run2"
+    out2.mkdir()
+    with pytest.warns(UserWarning, match="bf16 differs"):
+        p2 = record_run_flags(str(out2), str(out), bn_groups=2, bf16=False,
+                              variant="multi-mnist", manualSeed=7)
+    with open(p2) as f:
+        assert json.load(f)["bf16"] is False
+    # matching in-place resume: no warning, record untouched
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        record_run_flags(str(out), str(out), bn_groups=2, bf16=True,
+                         variant="multi-mnist", manualSeed=7)

@@ -113,15 +113,24 @@ def _check_images(paths: list, ck: Check, n: int, channels: int):
                  f"paths missing (first: {missing[0]})")
         return
     sizes = set()
+    modes = set()
     for p in paths[:n]:
         try:
             with Image.open(p) as im:
                 im.load()
                 sizes.add(im.size)
+                modes.add(im.mode)
         except Exception as e:  # noqa: BLE001
             ck.error(f"images: undecodable {p}: {e}")
             return
+    bad = sorted(m for m in modes if Image.getmodebands(m) != channels)
+    if bad:
+        # the loaders .convert() anyway, so a mode mismatch is survivable —
+        # but e.g. grayscale files in a COCO dir usually mean a wrong dir
+        ck.warn(f"images: sampled modes {bad} have != {channels} channels "
+                f"(expected {channels} for this variant)")
     ck.report["image_sizes_sampled"] = sorted(map(list, sizes))
+    ck.report["image_modes_sampled"] = sorted(modes)
     ck.report["images_sampled"] = min(len(paths), n)
 
 

@@ -17,8 +17,10 @@ classifier head; utils/metrics.inception_score docstring).
 
 Prints ONE JSON line:
   {"fid": F, "is_mean": M, "is_std": S, "n_real": NR, "n_fake": NF,
-   "is_head": "imported"|"random",
+   "is_head": "imported"|"random", "is_backbone": "imported"|"random",
    "fid_encoder": "fid_canonical"|"damsm"|"random"}
+IS is publication-grade only when is_backbone AND is_head are "imported"
+(a warning prints otherwise).
 
 Usage: python tools/eval_fid.py REAL_DIR FAKE_DIR
            [--fid_weights pt_inception.pth]
@@ -127,20 +129,29 @@ def main(argv=None):
                                 args.limit, args.batch)
     fid = fid_from_activations(real_acts, fake_acts)
     fc, is_head = resolve_inception_fc()
-    if fid_prov == "fid_canonical":
+    is_backbone = "imported" if args.image_encoder else "random"
+    if is_backbone == "random" or is_head == "random":
+        print("WARNING: IS is not comparable to published numbers "
+              f"(backbone={is_backbone}, head={is_head}) — set "
+              "--image_encoder AND $INCEPTION_V3_WEIGHTS for a meaningful "
+              "IS", flush=True)
+    if fid_prov == "fid_canonical" and is_backbone == "imported":
         # IS head weights match the torchvision/DAMSM backbone, not the
         # pt_inception pool — run IS on the DAMSM-backbone activations
         is_acts = dir_activations(enc, enc_vars, args.fake_dir, args.size,
                                   args.limit, args.batch)
     else:
-        is_acts = fake_acts  # reuse — no second encoder pass
+        # reuse the FID activations: with a random backbone a second full
+        # Inception sweep would only re-dress noise (provenance above says
+        # so), and with a non-canonical FID encoder the backbones coincide
+        is_acts = fake_acts
     is_mean, is_std = inception_score(enc, enc_vars, acts=is_acts,
                                       batch_size=args.batch, fc=fc)
     result = {"fid": round(fid, 4), "is_mean": round(is_mean, 4),
               "is_std": round(is_std, 4),
               "n_real": int(real_acts.shape[0]),
               "n_fake": int(fake_acts.shape[0]),
-              "is_head": is_head,
+              "is_head": is_head, "is_backbone": is_backbone,
               "fid_encoder": fid_prov}
     print(json.dumps(result))
     if args.out:

@@ -110,12 +110,14 @@ def main(argv=None):
     # "fid_canonical" is comparable; the DAMSM backbone ("damsm") is
     # self-consistent but a different metric (VERDICT r3 missing #2)
     if (m.get("is_head") == "imported"
+            and m.get("is_backbone") == "imported"
             and m.get("fid_encoder") == "fid_canonical"):
         result["comparable_to_published"] = True
     else:
         result["comparable_to_published"] = False
         print("NOTE: non-canonical weights in the metric path "
               f"(is_head={m.get('is_head')}, "
+              f"is_backbone={m.get('is_backbone')}, "
               f"fid_encoder={m.get('fid_encoder')}) — numbers are NOT "
               "comparable to published FID/IS; set $FID_INCEPTION_WEIGHTS "
               "to the pytorch-fid pt_inception .pth, pass --net_e, and "
