@@ -139,3 +139,46 @@ def test_trend_encoder_contract_pinned():
         f[0, :4],
         [0.17380394041538239, 0.15794917941093445,
          0.16780903935432434, 0.1698075830936432], rtol=1e-4)
+
+
+def test_export_frozen_s1_roundtrip(tmp_path):
+    """--export_pth on coco-stackgan-2 embeds the run's frozen STAGE1_G.
+    The helper re-derives it from the seed (same create_state rng order
+    as cli/stage2_runner.run_stage2), so the exported .pth must re-import
+    to EXACTLY the deterministic state — pinned here at small width so a
+    drift in either the rng order or the export/import key mapping fails
+    loudly rather than silently embedding the wrong frozen stage-1."""
+    import jax
+
+    from validate_learning import _export_frozen_s1
+
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.io.torch_import import (
+        import_stage1_g, load_torch_checkpoint)
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.train.step import create_state
+
+    with open(os.path.join("cfg", "coco_s2_train.yml")) as f:
+        yml = f.read()
+    yml = (yml.replace("GF_DIM: 192", "GF_DIM: 16")
+              .replace("DF_DIM: 96", "DF_DIM: 8")
+              .replace("CONDITION_DIM: 128", "CONDITION_DIM: 16")
+              .replace("DIMENSION: 1024", "DIMENSION: 32"))
+    cfg_file = tmp_path / "s2_small.yml"
+    cfg_file.write_text(yml)
+
+    pth = _export_frozen_s1(str(cfg_file), 7, str(tmp_path / "s1.pth"))
+
+    cfg = cfg_from_file(str(cfg_file), "coco-stackgan")
+    s1_cfg = stage1_model_config(cfg, "coco-stackgan")
+    want = create_state(s1_cfg, Stage1G(s1_cfg), Stage1D(s1_cfg),
+                        jax.random.PRNGKey(7), batch_size=2)
+    params, stats = import_stage1_g(load_torch_checkpoint(pth), s1_cfg)
+    for got_t, want_t in ((params, want.g_params), (stats, want.g_stats)):
+        got_l = jax.tree_util.tree_leaves_with_path(got_t)
+        want_l = jax.tree_util.tree_leaves_with_path(want_t)
+        assert [k for k, _ in got_l] == [k for k, _ in want_l]
+        for (k, g), (_, w) in zip(got_l, want_l):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=str(k))

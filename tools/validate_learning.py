@@ -342,6 +342,32 @@ def _write_attngan_validate_cfg(work: str) -> str:
     return path
 
 
+def _export_frozen_s1(cfg_file: str, seed: int, out_path: str) -> str:
+    """Export the stage-2 run's deterministic random frozen STAGE1_G as a
+    reference .pth. cli/stage2_runner.run_stage2 re-creates the frozen
+    stage-1 from the run seed with the exact create_state call below
+    (same rng order), so the exported weights are bit-identical to what
+    the stage-2 G trained against; tests/test_validate_tool.py pins the
+    round trip."""
+    import jax
+
+    from multiple_objects_gan_tpu.config.config import (
+        cfg_from_file, stage1_model_config)
+    from multiple_objects_gan_tpu.io.torch_export import (
+        export_stage1_g, save_reference_checkpoint)
+    from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+    from multiple_objects_gan_tpu.train.step import create_state
+
+    cfg = cfg_from_file(cfg_file, "coco-stackgan")
+    s1_cfg = stage1_model_config(cfg, "coco-stackgan")
+    s1_state = create_state(s1_cfg, Stage1G(s1_cfg), Stage1D(s1_cfg),
+                            jax.random.PRNGKey(seed), batch_size=2)
+    save_reference_checkpoint(
+        out_path, 0,
+        net_g=export_stage1_g(s1_state.g_params, s1_state.g_stats, s1_cfg))
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("variant", nargs="?", default="mnist",
@@ -361,8 +387,9 @@ def main(argv=None):
                         "for inspection (convergence-run artifacts)")
     p.add_argument("--export_pth", default="",
                    help="after the final segment, export the trained G as "
-                        "a reference-format .pth here (stage-1 family "
-                        "variants only)")
+                        "a reference-format .pth here (all variants; "
+                        "stage-2 embeds its deterministic frozen STAGE1_G, "
+                        "attngan exports the EMA G)")
     args = p.parse_args(argv)
 
     from multiple_objects_gan_tpu.cli.main import main as cli_main
@@ -458,18 +485,26 @@ def main(argv=None):
 
     exported = ""
     if args.export_pth:
-        fam_variant = {"mnist": "multi-mnist", "clevr": "clevr",
-                       "coco-stackgan-1": "coco-stackgan"}.get(args.variant)
-        if fam_variant is None:
-            print(f"--export_pth: unsupported for {args.variant} (use "
-                  "tools/export_checkpoint.py stage2/attngan directly)",
-                  flush=True)
+        from export_checkpoint import main as export_main
+        if args.variant == "coco-stackgan-2":
+            # a strict reference load of a stage-2 .pth needs the wrapped
+            # frozen STAGE1_G embedded (ref model.py:317-320) — export the
+            # SAME deterministic random stage-1 the run trained against
+            s1_pth = _export_frozen_s1(
+                cfg_file, args.seed, os.path.join(work, "netG_s1_frozen.pth"))
+            export_main(["stage2", "--cfg", cfg_file, "--ckpt", prev,
+                         "--out", args.export_pth, "--s1_net_g", s1_pth])
+        elif args.variant == "coco-attngan":
+            # EMA G in the reference eval container (trainer.py:173-199)
+            export_main(["attngan", "--cfg", cfg_file, "--ckpt", prev,
+                         "--out", args.export_pth])
         else:
-            from export_checkpoint import main as export_main
+            fam_variant = {"mnist": "multi-mnist", "clevr": "clevr",
+                           "coco-stackgan-1": "coco-stackgan"}[args.variant]
             export_main(["stage1", "--variant", fam_variant,
                          "--cfg", cfg_file, "--ckpt", prev,
                          "--out", args.export_pth])
-            exported = args.export_pth
+        exported = args.export_pth
 
     in_box, out_box = _separation(imgs, bbox)
     fids = [f for _, f in fid_points]
