@@ -95,6 +95,7 @@ def test_parity_harness_one_shot(harness_env, capsys):
     assert result["net_g"] == net_g
     # synthetic env has no DAMSM/torchvision weights -> provenance says so
     assert result["is_head"] == "random"
+    assert result["is_backbone"] == "random"
     assert result["fid_encoder"] == "random"
     assert result["comparable_to_published"] is False
     # the reference-composition dump actually exists
