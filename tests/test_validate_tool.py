@@ -141,6 +141,23 @@ def test_trend_encoder_contract_pinned():
          0.16780903935432434, 0.1698075830936432], rtol=1e-4)
 
 
+def test_fid_decreasing_verdict():
+    """The learning verdict over the FID trend: all four recorded
+    convergence-run trends (ROADMAP "Convergence runs") must pass —
+    including stackgan-2's floor noise (0.12 -> 0.18 after a 26.73
+    init), which a bare final<=min*1.10 ratio wrongly failed — while
+    flat (never-learned), rising, and genuinely regressed trends fail."""
+    from validate_learning import fid_decreasing
+
+    assert fid_decreasing([39.86, 0.37, 0.37])      # mnist r4
+    assert fid_decreasing([37.00, 0.37, 0.38])      # clevr r4
+    assert fid_decreasing([24.99, 0.08, 0.09])      # stackgan-1 r4
+    assert fid_decreasing([26.73, 0.12, 0.18])      # stackgan-2 r4 floor
+    assert not fid_decreasing([5.0, 5.0, 5.0])      # never learned
+    assert not fid_decreasing([5.0, 6.0, 7.0])      # diverging
+    assert not fid_decreasing([30.0, 0.5, 12.0])    # learned then broke
+
+
 def test_export_frozen_s1_roundtrip(tmp_path):
     """--export_pth on coco-stackgan-2 embeds the run's frozen STAGE1_G.
     The helper re-derives it from the seed (same create_state rng order
