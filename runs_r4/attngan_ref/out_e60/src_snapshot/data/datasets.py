@@ -1,0 +1,325 @@
+"""Dataset adapters: on-disk formats identical to the reference's pipelines.
+
+Parity targets:
+  * Multi-MNIST TextDataset — code/multi-mnist/miscc/datasets.py:25-86:
+    <data_dir>/<split>/normal/{filenames,bboxes,labels}.pickle + imgs/*.png;
+    labels.pickle already stores per-object ONE-HOT vectors (3, 10) — the
+    trainer consumes them directly (trainer.py:122).
+  * CLEVR TextDataset — code/clevr/miscc/datasets.py:44-145:
+    <data_dir>/<split>/images/*.png + scenes/*.json; bboxes normalized by
+    image size, padded with -1 to 4 objects; shape(4)+color(9) one-hots via
+    scatter; random h-flip mirrors bbox x (x' = 1 - x - w).
+  * Images: PIL load; ToTensor + Normalize(0.5) -> [-1, 1]
+    (code/multi-mnist/main.py:80-82) — the PIL-side transforms run on
+    uint8 exactly like the reference, and batches SHIP as raw uint8
+    (normalize-on-device via utils.images.as_model_image: 4x fewer
+    host->device bytes, the cast fuses into the first conv).
+
+The loader is a simple shuffled, drop-last, background-thread-prefetched
+batcher (replacing torch DataLoader worker processes); batches are numpy
+dicts ready for `shard_batch`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from multiple_objects_gan_tpu.io.pycompat import load_pickle
+
+CLEVR_SHAPES = {"cube": 0, "cylinder": 1, "sphere": 2}
+CLEVR_COLORS = {"gray": 0, "red": 1, "blue": 2, "green": 3, "brown": 4,
+                "purple": 5, "cyan": 6, "yellow": 7}
+
+
+def _load_image(path: str, channels: int) -> np.ndarray:
+    """Decode to raw uint8 HWC — the transport format. Normalization to
+    [-1, 1] (ToTensor + Normalize(0.5), code/multi-mnist/main.py:80-82)
+    happens on-device via utils.images.as_model_image, where the cast
+    fuses into the first consumer; shipping uint8 moves 4x fewer bytes."""
+    img = Image.open(path)
+    img = img.convert("L" if channels == 1 else "RGB")
+    arr = np.asarray(img)
+    if channels == 1:
+        arr = arr[..., None]
+    return arr
+
+
+class MultiMnistDataset:
+    """Multi-MNIST pickles + image dir (reference format)."""
+
+    max_objects = 3
+    label_dim = 10
+    channels = 1
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 variant: str = "normal", imsize: int = 64,
+                 cache: bool = True):
+        self.split_dir = os.path.join(data_dir, split, variant)
+        self.img_dir = os.path.join(self.split_dir, "imgs")
+        self.imsize = imsize
+        # load_pickle: the published pickles are Python-2 cPickle
+        # (code/multi-mnist/miscc/datasets.py:29-43)
+        self.filenames = load_pickle(
+            os.path.join(self.split_dir, "filenames.pickle"))
+        self.bboxes = np.array(
+            load_pickle(os.path.join(self.split_dir, "bboxes.pickle")),
+            dtype=np.float32)
+        self.labels = np.array(
+            load_pickle(os.path.join(self.split_dir, "labels.pickle")),
+            dtype=np.float32)
+        # RAM cache: 64px grayscale is ~4KB/image as uint8 — decode the
+        # whole split once with the native threaded loader, serve batches
+        # as array slices (the device step is ~50x faster than per-epoch
+        # re-decode)
+        self._cache = None
+        if cache:
+            from multiple_objects_gan_tpu.data.native_loader import (
+                decode_batch)
+            paths = [os.path.join(self.img_dir,
+                                  str(f).split("/")[-1])
+                     for f in self.filenames]
+            self._cache = decode_batch(paths, imsize, imsize, self.channels,
+                                       threads=16, dtype=np.uint8)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> dict:
+        key = str(self.filenames[idx]).split("/")[-1]
+        img = _load_image(os.path.join(self.img_dir, key), self.channels)
+        if img.shape[:2] != (self.imsize, self.imsize):
+            # keep the per-item path shape-consistent with the cache /
+            # get_batch path (which decodes straight to imsize)
+            im = Image.fromarray(img[..., 0] if self.channels == 1 else img)
+            im = im.resize((self.imsize, self.imsize), Image.BILINEAR)
+            img = np.asarray(im)
+            if self.channels == 1:
+                img = img[..., None]
+        return {"image": img,
+                "bbox": self.bboxes[idx].astype(np.float32),
+                "label_onehot": self.labels[idx].astype(np.float32)}
+
+    def get_batch(self, idxs, threads: int = 8) -> dict:
+        """Batched fast path: RAM cache or native C++ threaded decode."""
+        if self._cache is not None:
+            imgs = self._cache[idxs]
+        else:
+            from multiple_objects_gan_tpu.data.native_loader import (
+                decode_batch)
+            paths = [os.path.join(self.img_dir,
+                                  str(self.filenames[i]).split("/")[-1])
+                     for i in idxs]
+            imgs = decode_batch(paths, self.imsize, self.imsize,
+                                self.channels, threads=threads,
+                                dtype=np.uint8)
+        return {"image": imgs,
+                "bbox": self.bboxes[idxs].astype(np.float32),
+                "label_onehot": self.labels[idxs].astype(np.float32)}
+
+
+class ClevrDataset:
+    """CLEVR images + scenes/*.json (reference format)."""
+
+    max_objects = 4
+    label_dim = 13  # 4 shapes (incl. pad slot semantics) + 9 colors
+    channels = 3
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 imsize: int = 64, hflip: bool = True, seed: int = 0):
+        self.img_dir = os.path.join(data_dir, split, "images")
+        scene_dir = os.path.join(data_dir, split, "scenes")
+        self.imsize = imsize
+        self.hflip = hflip
+        self._rng = np.random.RandomState(seed)
+        self.scenes = sorted(
+            os.path.join(scene_dir, f) for f in os.listdir(scene_dir)
+            if f.endswith(".json"))
+
+    def __len__(self) -> int:
+        return len(self.scenes)
+
+    def __getitem__(self, idx: int) -> dict:
+        with open(self.scenes[idx]) as f:
+            scene = json.load(f)
+        img = _load_image(
+            os.path.join(self.img_dir, scene["image_filename"]), 3)
+        h, w = img.shape[:2]
+        bbox = np.full((self.max_objects, 4), -1.0, np.float32)
+        # pad (absent) objects one-hot the LAST slot of each group —
+        # shape 3, color 8 (combined index 12) — exactly the reference's
+        # label_one_hot (datasets.py:100-107, labels[labels < 0] = dim-1);
+        # their STN contribution is empty (bbox -1) but the pad one-hots
+        # DO enter the D condition sum (utils.py:98-99)
+        label = np.zeros((self.max_objects, self.label_dim), np.float32)
+        label[:, 3] = 1.0
+        label[:, 4 + 8] = 1.0
+        for i, obj in enumerate(scene["objects"][: self.max_objects]):
+            x, y, bw, bh = obj["bbox"]
+            bbox[i] = [x / w, y / h, bw / w, bh / h]
+            label[i] = 0.0
+            label[i, CLEVR_SHAPES[obj["shape"]]] = 1.0
+            label[i, 4 + CLEVR_COLORS[obj["color"]]] = 1.0
+        if self.hflip and self._rng.rand() < 0.5:
+            img = img[:, ::-1].copy()
+            valid = bbox[:, 0] >= 0
+            bbox[valid, 0] = 1.0 - bbox[valid, 0] - bbox[valid, 2]
+        if img.shape[:2] != (self.imsize, self.imsize):
+            # uint8 throughout — exactly the reference's PIL-then-ToTensor
+            # order (transforms on uint8, normalize last)
+            im = Image.fromarray(img).resize(
+                (self.imsize, self.imsize), Image.BILINEAR)
+            img = np.asarray(im)
+        return {"image": img, "bbox": bbox, "label_onehot": label}
+
+
+class Loader:
+    """Shuffled, drop-last, thread-prefetched batcher.
+
+    ``workers`` maps the reference's cfg.WORKERS (DataLoader processes,
+    code/multi-mnist/main.py:86-88) onto the native decoder's thread pool
+    (clamped to cpu_count inside decode_batch)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2,
+                 workers: Optional[int] = None,
+                 shard: tuple = (0, 1)):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.workers = workers
+        # (rank, world): multi-host data sharding — every process shuffles
+        # the SAME global order (seeded) and takes a disjoint strided
+        # slice, so the union of all hosts' epochs covers the dataset once
+        self.shard = shard
+
+    def __len__(self) -> int:
+        # min across ranks (len(ds)//world) so every process runs the SAME
+        # number of steps per epoch — unequal counts would deadlock the
+        # collective train step on a multi-host mesh
+        _, world = self.shard
+        return len(self.ds) // world // self.bs
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[dict]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        get_batch = getattr(self.ds, "get_batch", None)
+
+        def worker():
+            # forward exceptions to the consumer: a dead worker that never
+            # enqueues the sentinel would otherwise hang the train loop on
+            # q.get() forever (easily misread as a TPU-tunnel wedge)
+            try:
+                for b in range(n_batches):
+                    idxs = order[b * self.bs:(b + 1) * self.bs]
+                    if get_batch is not None:
+                        batch = (get_batch(idxs, threads=self.workers)
+                                 if self.workers else get_batch(idxs))
+                    else:
+                        items = [self.ds[int(i)] for i in idxs]
+                        batch = {k: np.stack([it[k] for it in items])
+                                 for k in items[0]}
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            if isinstance(batch, BaseException):
+                raise batch
+            yield batch
+
+
+def write_synthetic_clevr(data_dir: str, n: int = 128, split: str = "train",
+                          seed: int = 0, imsize: int = 64) -> None:
+    """Tiny CLEVR-format dataset (scenes/*.json + colored-box images)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(data_dir, split, "images")
+    scene_dir = os.path.join(data_dir, split, "scenes")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(scene_dir, exist_ok=True)
+    shapes = list(CLEVR_SHAPES)
+    colors = list(CLEVR_COLORS)
+    palette = {"gray": (128, 128, 128), "red": (200, 30, 30),
+               "blue": (40, 60, 200), "green": (30, 160, 60),
+               "brown": (140, 90, 40), "purple": (130, 40, 160),
+               "cyan": (40, 180, 190), "yellow": (210, 200, 40)}
+    for i in range(n):
+        img = np.zeros((imsize, imsize, 3), np.uint8)
+        objects = []
+        for _ in range(rng.randint(2, 5)):
+            w = h = rng.randint(imsize // 6, imsize // 3)
+            x = rng.randint(0, imsize - w)
+            y = rng.randint(0, imsize - h)
+            shape = shapes[rng.randint(len(shapes))]
+            color = colors[rng.randint(len(colors))]
+            img[y:y + h, x:x + w] = palette[color]
+            objects.append({"bbox": [float(x), float(y), float(w), float(h)],
+                            "shape": shape, "color": color})
+        name = f"CLEVR_{split}_{i:06d}.png"
+        Image.fromarray(img).save(os.path.join(img_dir, name))
+        with open(os.path.join(scene_dir, name.replace(".png", ".json")),
+                  "w") as f:
+            json.dump({"image_filename": name, "objects": objects}, f)
+
+
+def write_synthetic_multimnist(data_dir: str, n: int = 256,
+                               split: str = "train", seed: int = 0,
+                               imsize: int = 64) -> None:
+    """Create a tiny Multi-MNIST-format dataset on disk (digit-like blobs)
+    so the real IO path can be exercised without the original data."""
+    rng = np.random.RandomState(seed)
+    split_dir = os.path.join(data_dir, split, "normal")
+    img_dir = os.path.join(split_dir, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    filenames, bboxes, labels = [], [], []
+    for i in range(n):
+        img = np.zeros((imsize, imsize), np.uint8)
+        bbs, labs = [], []
+        for j in range(3):
+            d = rng.randint(10)
+            w = h = rng.uniform(0.2, 0.3)
+            x = rng.uniform(0.0, 1.0 - w)
+            y = rng.uniform(0.0, 1.0 - h)
+            x0, y0 = int(x * imsize), int(y * imsize)
+            x1, y1 = int((x + w) * imsize), int((y + h) * imsize)
+            # digit-dependent pattern so labels are learnable
+            patch = ((np.indices((y1 - y0, x1 - x0)).sum(0) + d) % 3 == 0)
+            img[y0:y1, x0:x1] = np.maximum(img[y0:y1, x0:x1],
+                                           patch.astype(np.uint8) * 255)
+            bbs.append([x, y, w, h])
+            onehot = np.zeros(10, np.float32)
+            onehot[d] = 1.0
+            labs.append(onehot)
+        name = f"synthetic_{i:05d}.png"
+        Image.fromarray(img, mode="L").save(os.path.join(img_dir, name))
+        filenames.append(name)
+        bboxes.append(bbs)
+        labels.append(labs)
+    with open(os.path.join(split_dir, "filenames.pickle"), "wb") as f:
+        pickle.dump(filenames, f)
+    with open(os.path.join(split_dir, "bboxes.pickle"), "wb") as f:
+        pickle.dump(np.asarray(bboxes, np.float32), f)
+    with open(os.path.join(split_dir, "labels.pickle"), "wb") as f:
+        pickle.dump(np.asarray(labels, np.float32), f)
