@@ -271,11 +271,19 @@ class AttnGanDataset:
 def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
                             seed: int = 0, captions_per_image: int = 5,
                             vocab: int = 50) -> None:
-    """Tiny attngan-format dataset (gibberish captions). Objects are
-    drawn as label-colored rectangles at their bbox locations on a dark
-    background (same scheme as :func:`data.coco.write_synthetic_coco`),
-    so short smoke trainings have real signal and the object pathway can
-    be validated with an in-box intensity check."""
+    """Tiny attngan-format dataset with CONTENT-DESCRIPTIVE captions.
+    Objects are drawn as label-colored rectangles at their bbox locations
+    on a dark background (same scheme as
+    :func:`data.coco.write_synthetic_coco`), and each caption names every
+    object (``obj<label>``) followed by its coarse 3x3-grid location
+    (``loc<gx><gy>``), in a per-caption random order, plus 1-3 filler
+    words. The text therefore genuinely describes the image: DAMSM
+    pretraining (sent/word contrastive losses, losses/damsm.py) has a
+    learnable image<->text correspondence, and the attngan trainer's
+    LAMBDA-weighted word/sentence loss (ref
+    code/coco/attngan/trainer.py:330-340) is exercisable at reference
+    strength on synthetic data. Tokenizer note: captions survive the
+    ``\\w+`` tokenize() intact (digits are word chars)."""
     rng = np.random.RandomState(seed)
     words = [f"word{i}" for i in range(vocab)]
     os.makedirs(img_dir, exist_ok=True)
@@ -287,15 +295,11 @@ def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
         for i in range(count):
             key = f"{split}_{i:05d}"
             img = (rng.rand(268, 268, 3) * 40).astype(np.uint8)
-            caps = "\n".join(
-                " ".join(rng.choice(words, rng.randint(4, 10)))
-                for _ in range(captions_per_image))
-            with open(os.path.join(data_dir, "text", key + ".txt"), "w") as f:
-                f.write(caps)
             filenames.append(key)
             n_obj = rng.randint(1, MAX_OBJECTS + 1)
             bb = np.full((MAX_OBJECTS, 4), -1.0, np.float32)
             lab = np.full((MAX_OBJECTS, 1), -1, np.int64)
+            obj_tokens = []
             for j in range(n_obj):
                 w, h = rng.uniform(0.2, 0.4, 2)
                 bb[j] = [rng.uniform(0, 1 - w), rng.uniform(0, 1 - h), w, h]
@@ -307,6 +311,17 @@ def write_synthetic_attngan(data_dir: str, img_dir: str, n: int = 32,
                 color = np.array([120 + 135 * ((lab_j * k) % 9) // 8
                                   for k in (1, 2, 3)], np.uint8)
                 img[y0:y1, x0:x1] = color
+                gx = min(int((bb[j][0] + bb[j][2] / 2) * 3), 2)
+                gy = min(int((bb[j][1] + bb[j][3] / 2) * 3), 2)
+                obj_tokens.append(f"obj{lab_j} loc{gx}{gy}")
+            cap_lines = []
+            for _ in range(captions_per_image):
+                order = rng.permutation(n_obj)
+                toks = [obj_tokens[j] for j in order]
+                toks += list(rng.choice(words, rng.randint(1, 4)))
+                cap_lines.append(" ".join(toks))
+            with open(os.path.join(data_dir, "text", key + ".txt"), "w") as f:
+                f.write("\n".join(cap_lines))
             Image.fromarray(img).save(os.path.join(img_dir, key + ".jpg"))
             bboxes.append(bb)
             labels.append(lab)

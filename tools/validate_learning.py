@@ -360,6 +360,93 @@ def _write_attngan_validate_cfg(work: str) -> str:
     return path
 
 
+def _write_attngan_full_cfg(work: str, net_e: str) -> str:
+    """coco_attn_train.yml at the FULL reference composition — LAMBDA
+    kept at 50.0 (ref cfg/coco_train.yml:24) — with NET_E pointed at the
+    DAMSM text encoder this very chain just pretrained (train.sh damsm ->
+    io/damsm_export). This is the reference's flagship configuration:
+    the generator loss includes words_loss + sent_loss x LAMBDA through
+    frozen pretrained encoders (ref code/coco/attngan/trainer.py:330-340,
+    miscc/losses.py:177-226)."""
+    with open(os.path.join("cfg", "coco_attn_train.yml")) as f:
+        txt = f.read()
+    txt = txt.replace("NET_E: 'DAMSMencoders/coco/text_encoder100.pth'",
+                      f"NET_E: '{net_e}'")
+    assert f"NET_E: '{net_e}'" in txt and "LAMBDA: 50.0" in txt
+    path = os.path.join(work, "coco_attn_full.yml")
+    with open(path, "w") as f:
+        f.write(txt)
+    return path
+
+
+def _write_attngan_eval_cfg(work: str, train_cfg_file: str,
+                            net_g_dir: str) -> str:
+    """Eval-mode cfg derived from the chain's TRAIN cfg (so WORDS_NUM /
+    vocab / NET_E match the encoders the run trained against — the
+    shipped coco_attn_eval.yml has WORDS_NUM 20 for the published
+    checkpoints), with TRAIN.FLAG False + B_VALIDATION and NET_G at the
+    finished run dir. Drives attngan_runner.sampling() (ref
+    trainer.py:387-472) for the eval_metrics.json artifact."""
+    with open(train_cfg_file) as f:
+        txt = f.read()
+    txt = txt.replace("FLAG: True", "FLAG: False")
+    txt = txt.replace("NET_G: ''", f"NET_G: '{net_g_dir}'")
+    txt = txt.replace("DATASET_NAME: 'coco'",
+                      "DATASET_NAME: 'coco'\nB_VALIDATION: True")
+    assert "FLAG: False" in txt and f"NET_G: '{net_g_dir}'" in txt
+    path = os.path.join(work, "coco_attn_sampling.yml")
+    with open(path, "w") as f:
+        f.write(txt)
+    return path
+
+
+def _damsm_loss_trend(damsm_out: str) -> list:
+    """[[epoch, eval_loss_total], ...] from the DAMSM runner's per-epoch
+    eval-split metrics — the pretraining-convergence evidence."""
+    path = os.path.join(damsm_out, "logs", "metrics.jsonl")
+    trend = []
+    with open(path) as f:
+        for line in f:
+            row = json.loads(line)
+            keys = [k for k in row if k.startswith("eval_")]
+            if keys:
+                trend.append([int(row["step"]),
+                              round(sum(float(row[k]) for k in keys), 4)])
+    return trend
+
+
+def _damsm_word_stats(seg_dirs: list) -> dict:
+    """s_loss / w_loss trajectory across ALL training segments of an
+    attngan run (each segment logs to its own metrics.jsonl): first- and
+    last-quarter means + finiteness. The VERDICT r4 acceptance bar: the
+    columns must be nonzero and finite over the full schedule."""
+    s, w = [], []
+    for seg in seg_dirs:
+        path = os.path.join(seg, "logs", "metrics.jsonl")
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                if "s_loss" in row:
+                    s.append(float(row["s_loss"]))
+                    w.append(float(row["w_loss"]))
+    if not s:
+        return {}
+    q = max(1, len(s) // 4)
+    arr_s, arr_w = np.asarray(s), np.asarray(w)
+    return {
+        "n_logged": len(s),
+        "s_loss_first_quarter": round(float(arr_s[:q].mean()), 4),
+        "s_loss_last_quarter": round(float(arr_s[-q:].mean()), 4),
+        "w_loss_first_quarter": round(float(arr_w[:q].mean()), 4),
+        "w_loss_last_quarter": round(float(arr_w[-q:].mean()), 4),
+        "all_finite": bool(np.isfinite(arr_s).all()
+                           and np.isfinite(arr_w).all()),
+        "all_nonzero": bool((arr_s != 0.0).all() and (arr_w != 0.0).all()),
+    }
+
+
 def _export_frozen_s1(cfg_file: str, seed: int, out_path: str) -> str:
     """Export the stage-2 run's deterministic random frozen STAGE1_G as a
     reference .pth. cli/stage2_runner.run_stage2 re-creates the frozen
@@ -399,6 +486,24 @@ def main(argv=None):
                    help="synthetic dataset size (0 = variant default)")
     p.add_argument("--fid_images", type=int, default=128,
                    help="real-side image count for the FID trend")
+    p.add_argument("--segments", type=int, default=2,
+                   help="trend points across the schedule (2 = the "
+                        "historical mid+final; artifact runs use 4-6 so "
+                        "the back half of training is evidential)")
+    p.add_argument("--damsm_epochs", type=int, default=0,
+                   help="coco-attngan only: pretrain the DAMSM encoders "
+                        "for N epochs on the same synthetic data, export "
+                        "NET_E, and train at the FULL reference "
+                        "composition (LAMBDA 50.0 + pretrained NET_E) "
+                        "instead of the amputated validate cfg")
+    p.add_argument("--snapshot_interval", type=int, default=0,
+                   help="checkpoint cadence inside each training segment "
+                        "(0 = segment-final only; the flagship artifact "
+                        "run keeps intermediates)")
+    p.add_argument("--sampling_images", type=int, default=0,
+                   help="coco-attngan only: after training run the bulk "
+                        "sampling() eval over N images and record its "
+                        "eval_metrics.json (0 = skip)")
     p.add_argument("--workdir", default="",
                    help="persistent work dir (default: fresh tempdir) — "
                         "keeps the per-epoch sample grids and checkpoints "
@@ -449,8 +554,32 @@ def main(argv=None):
                 "coco-stackgan-1": "cfg/coco_s1_train.yml",
                 "coco-stackgan-2": "cfg/coco_s2_train.yml",
                 "coco-attngan": None}[variant]
+    damsm_trend = []
+    net_e = ""
     if variant == "coco-attngan":
-        cfg_file = _write_attngan_validate_cfg(work)
+        if args.damsm_epochs > 0:
+            # ---- stage 0: DAMSM pretraining (the reference has users
+            # download NET_E, README.md:33-35; this chain produces it) ----
+            damsm_out = os.path.join(work, "damsm")
+            damsm_args = ["--variant", "damsm", "--cfg",
+                          "cfg/coco_damsm.yml", "--data_dir", data_dir,
+                          "--img_dir", os.path.join(work, "imgs"),
+                          "--output_dir", damsm_out,
+                          "--max_epochs", str(args.damsm_epochs),
+                          "--snapshot_interval", str(args.damsm_epochs),
+                          "--manualSeed", str(args.seed)]
+            if args.bf16:
+                damsm_args.append("--bf16")
+            cli_main(damsm_args)
+            net_e = os.path.join(damsm_out, "DAMSMencoders",
+                                 f"text_encoder{args.damsm_epochs - 1}.pth")
+            assert os.path.isfile(net_e), f"DAMSM export missing: {net_e}"
+            damsm_trend = _damsm_loss_trend(damsm_out)
+            print(f"DAMSM eval-loss trend: {damsm_trend[:2]} ... "
+                  f"{damsm_trend[-2:]}", flush=True)
+            cfg_file = _write_attngan_full_cfg(work, net_e)
+        else:
+            cfg_file = _write_attngan_validate_cfg(work)
     def generate(from_dir):
         if variant == "coco-attngan":
             return _generate_attngan(cfg_file, data_dir,
@@ -466,10 +595,12 @@ def main(argv=None):
         cli_args = ["--variant", variant, "--cfg", cfg_file,
                     "--data_dir", data_dir, "--output_dir", to_dir,
                     "--synthetic", "--max_epochs", str(max_epochs),
-                    # only each segment's final checkpoint is needed; a
-                    # mid-run stage-2 snapshot is a ~2.5 GB fetch (slow on
-                    # tunneled dev TPUs)
-                    "--snapshot_interval", str(10 * args.epochs),
+                    # default: only each segment's final checkpoint (a
+                    # mid-run stage-2 snapshot is a ~2.5 GB fetch, slow on
+                    # tunneled dev TPUs); --snapshot_interval keeps
+                    # intermediates for artifact runs
+                    "--snapshot_interval",
+                    str(args.snapshot_interval or 10 * args.epochs),
                     "--manualSeed", str(args.seed)]
         if resume_from:
             cli_args += ["--resume", resume_from]
@@ -490,15 +621,26 @@ def main(argv=None):
     fid_points = [(0, _fid(real, imgs0))]
     print(f"FID @ init: {fid_points[0][1]:.2f}", flush=True)
 
-    seg_epochs = sorted({max(1, args.epochs // 2), args.epochs})
+    # --segments K: trend points at every K-quantile of the schedule, so
+    # the BACK half of a run produces discriminating evidence too — two
+    # points (mid/final) could not show whether training kept improving
+    # or quietly regressed after the midpoint (VERDICT r4 weak #2)
+    seg_epochs = sorted({max(1, args.epochs * k // args.segments)
+                         for k in range(1, args.segments + 1)})
     prev = None
     imgs = bbox = None
+    seg_dirs = []
+    sep_points = []
     for e in seg_epochs:
         seg_out = os.path.join(work, f"out_e{e}")
         run_cli(seg_out, e, resume_from=prev)
+        seg_dirs.append(seg_out)
         imgs, bbox = generate(seg_out)
         fid_points.append((e, _fid(real, imgs)))
-        print(f"FID @ epoch {e}: {fid_points[-1][1]:.2f}", flush=True)
+        sb, so = _separation(imgs, bbox)
+        sep_points.append((e, round(sb - so, 3)))
+        print(f"FID @ epoch {e}: {fid_points[-1][1]:.2f}  "
+              f"separation: {sep_points[-1][1]:.3f}", flush=True)
         prev = seg_out
 
     exported = ""
@@ -524,15 +666,43 @@ def main(argv=None):
                          "--out", args.export_pth])
         exported = args.export_pth
 
+    sampling_metrics = {}
+    if args.sampling_images and variant == "coco-attngan":
+        # ---- final sampling() eval (ref trainer.py:387-472): bulk dump
+        # + FID/IS with provenance -> eval_metrics.json ----
+        eval_cfg = _write_attngan_eval_cfg(work, cfg_file, prev)
+        eval_out = os.path.join(work, "sampling")
+        cli_args = ["--variant", variant, "--cfg", eval_cfg,
+                    "--data_dir", data_dir,
+                    "--img_dir", os.path.join(work, "imgs"),
+                    "--output_dir", eval_out, "--eval_mode", "sampling",
+                    "--num_images", str(args.sampling_images),
+                    "--manualSeed", str(args.seed)]
+        if args.bf16:
+            cli_args.append("--bf16")
+        cli_main(cli_args)
+        with open(os.path.join(eval_out, "eval_metrics.json")) as f:
+            sampling_metrics = json.load(f)
+
     in_box, out_box = _separation(imgs, bbox)
     fids = [f for _, f in fid_points]
-    print(json.dumps({
+    out = {
         "workdir": work, "exported_pth": exported,
         "variant": args.variant, "epochs": args.epochs,
         "in_box": round(in_box, 3), "out_box": round(out_box, 3),
         "separation": round(in_box - out_box, 3),
+        "separation_trend": [[e, s] for e, s in sep_points],
         "fid_trend": [[e, round(f, 2)] for e, f in fid_points],
-        "fid_decreasing": fid_decreasing(fids)}))
+        "fid_decreasing": fid_decreasing(fids)}
+    if args.damsm_epochs and variant == "coco-attngan":
+        out["damsm_epochs"] = args.damsm_epochs
+        out["net_e"] = net_e
+        out["damsm_eval_loss_trend"] = (
+            damsm_trend[:1] + damsm_trend[-1:] if damsm_trend else [])
+        out["damsm_word_sent"] = _damsm_word_stats(seg_dirs)
+    if sampling_metrics:
+        out["sampling_eval"] = sampling_metrics
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
