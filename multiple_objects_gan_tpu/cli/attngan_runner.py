@@ -21,6 +21,7 @@ point at the published DAMSM .pth (io/damsm_import).
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -218,6 +219,20 @@ def run(args, cfg, output_dir: str, seed: int):
                             enc_prov=enc_prov)
         return run_gen_example(args, cfg, ds, mcfg, g, d_modules, text_enc,
                                enc_vars, output_dir, seed)
+
+    # record which encoders drive the DAMSM loss next to the other
+    # trace-time knobs: a run with random encoders (or LAMBDA edits) is a
+    # materially different experiment (the r4 'attngan_ref' artifact was
+    # ambiguous on exactly this — runs_r4/.../README.md)
+    flags_path = os.path.join(output_dir, "run_flags.json")
+    if os.path.isfile(flags_path):
+        with open(flags_path) as f:
+            flags = json.load(f)
+        flags["encoders"] = enc_prov
+        flags["net_e"] = str(cfg.TRAIN.get("NET_E", ""))
+        flags["smooth_lambda"] = float(cfg.TRAIN.SMOOTH.get("LAMBDA", 0.0))
+        with open(flags_path, "w") as f:
+            json.dump(flags, f, indent=1, sort_keys=True)
 
     smooth = {k: float(v) for k, v in cfg.TRAIN.SMOOTH.items()}
     step_raw = jax.jit(
