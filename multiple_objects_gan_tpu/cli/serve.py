@@ -21,6 +21,9 @@ Supported variants:
 - ``coco-stackgan-1``: additionally ``text_embedding`` (the 1024-d
   char-CNN-RNN caption embedding; the reference ships these
   precomputed — there is no in-repo encoder for free text).
+- ``coco-stackgan-2``: same schema at 256px (the paper's headline
+  output) — frozen stage-1 G + refiner in ONE jit, optional
+  ``bboxes_s2`` for a distinct output-scale layout.
 - ``coco-attngan``: ``caption`` free text (tokenized with the dataset
   vocab like gen_example, cli/attngan_runner.py) + optional
   ``labels``/``bboxes`` (random layout otherwise).
@@ -292,6 +295,153 @@ class Stage1Service:
         return [_png_b64(imgs[i]) for i in range(len(items))]
 
 
+class Stage2Service:
+    """coco-stackgan-2: 256px serving — the paper's headline output.
+
+    Wraps the reference eval composition (code/coco/stackgan/
+    trainer.py:281-419): a FROZEN stage-1 G runs inside the same jit as
+    the stage-2 refiner, with dual-scale bboxes (the 64px layout drives
+    S1 + S2's downsampled object pathway, the 256px layout drives S2's
+    output-scale pathway; requests may override ``bboxes_s2``
+    separately, else it mirrors ``bboxes`` like the datasets do,
+    data/coco.py). Weight sources follow sample_stage2
+    (cli/stage2_runner.py): NET_G = reference .pth (incl. the wrapped
+    STAGE1_G) or an orbax training dir, with STAGE1_G as the separate
+    stage-1 fallback."""
+
+    def __init__(self, cfg, max_batch: int, seed: int):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from multiple_objects_gan_tpu.config.config import (
+            stage1_model_config)
+        from multiple_objects_gan_tpu.io.checkpoint import CheckpointManager
+        from multiple_objects_gan_tpu.io.torch_import import (
+            import_stage2_g, load_torch_checkpoint, maybe_load_reference_g)
+        from multiple_objects_gan_tpu.models.stage1 import Stage1D, Stage1G
+        from multiple_objects_gan_tpu.models.stage2 import (
+            COCO_S2, Stage2D, Stage2G)
+        from multiple_objects_gan_tpu.train.step import (
+            create_state, create_state_stage2)
+
+        self.variant = "coco-stackgan-2"
+        s1_cfg = stage1_model_config(cfg, "coco-stackgan")
+        s2_cfg = dataclasses.replace(
+            COCO_S2, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
+            condition_dim=int(cfg.GAN.CONDITION_DIM),
+            d_cond_dim=int(cfg.GAN.CONDITION_DIM),
+            text_dim=int(cfg.TEXT.DIMENSION))
+        r_num = int(cfg.GAN.R_NUM)
+        self.mcfg = s1_cfg  # request schema (objects/labels/text) = stage-1's
+        g1 = Stage1G(s1_cfg)
+        g2 = Stage2G(s2_cfg, r_num=r_num)
+
+        rng = jax.random.PRNGKey(seed)
+        s1_state = create_state(s1_cfg, g1, Stage1D(s1_cfg), rng,
+                                batch_size=2)
+        loaded = maybe_load_reference_g(cfg.get("STAGE1_G", ""), s1_cfg,
+                                        s1_state)
+        if loaded is not None:
+            s1_state = loaded
+        s1_vars = {"params": s1_state.g_params,
+                   "batch_stats": s1_state.g_stats}
+
+        state = create_state_stage2(s2_cfg, g2, Stage2D(s2_cfg), rng,
+                                    batch_size=2)
+        net_g = cfg.get("NET_G", "")
+        if net_g and os.path.isfile(net_g):
+            ckpt = load_torch_checkpoint(net_g)
+            s1_import, (p2, s2stats) = import_stage2_g(
+                ckpt, s1_cfg, s2_cfg, r_num=r_num)
+            if s1_import is not None:
+                s1_vars = {"params": {**s1_vars["params"], **s1_import[0]},
+                           "batch_stats": {**s1_vars["batch_stats"],
+                                           **s1_import[1]}}
+            state = state.replace(g_params={**state.g_params, **p2},
+                                  g_stats={**state.g_stats, **s2stats})
+            print(f"serve: loaded reference stage-2 G from {net_g}",
+                  flush=True)
+        elif net_g and os.path.isdir(net_g):
+            mdir = os.path.join(net_g, "models")
+            mgr = CheckpointManager(mdir if os.path.isdir(mdir) else net_g)
+            if mgr.latest_epoch() is not None:
+                state, ep = mgr.restore(state)
+                print(f"serve: restored stage-2 G from {net_g} "
+                      f"(epoch {ep})", flush=True)
+        else:
+            print(f"serve: WARNING NET_G={net_g!r} not found — random "
+                  "stage-2 weights", flush=True)
+
+        self.s1_vars = s1_vars
+        self.g2_vars = {"params": state.g_params,
+                        "batch_stats": state.g_stats}
+        self.max_batch = max_batch
+        self._rs = np.random.RandomState(seed)
+        self._rng = rng
+        self._n = 0
+
+        @jax.jit
+        def gen(s1_v, g2_v, z, bbox_s1, bbox_s2, labels, text, ca_rng):
+            s1_out = g1.apply(s1_v, z, bbox_s1, labels, text, train=False,
+                              ca_rng=ca_rng)
+            out = g2.apply(g2_v, s1_out["img"], bbox_s1, bbox_s2, labels,
+                           text, train=False, ca_rng=ca_rng)
+            return out["img"].astype(jnp.float32)
+
+        self._gen = gen
+        self.run([{"text_embedding": [0.0] * s1_cfg.text_dim}])  # warm
+
+    def validate(self, item: dict) -> None:
+        mc = self.mcfg
+        _item_layout(item, mc.num_objects, mc.label_dim,
+                     np.random.RandomState(0))
+        emb = item.get("text_embedding")
+        if emb is None:
+            raise ValueError(f"{self.variant} items need a "
+                             f"{mc.text_dim}-d text_embedding")
+        if np.asarray(emb, np.float32).reshape(-1).size != mc.text_dim:
+            raise ValueError(f"text_embedding must have {mc.text_dim} "
+                             "values")
+        b2 = item.get("bboxes_s2")
+        if b2 is not None and len(b2) != len(item.get("bboxes") or b2):
+            raise ValueError("bboxes_s2 must match bboxes in length")
+
+    def run(self, items: list) -> list:
+        import jax
+        import jax.numpy as jnp
+
+        mc = self.mcfg
+        B = self.max_batch
+        labels = np.zeros((B, mc.num_objects, mc.label_dim), np.float32)
+        bbox = np.full((B, mc.num_objects, 4), -1.0, np.float32)
+        bbox2 = np.full((B, mc.num_objects, 4), -1.0, np.float32)
+        text = np.zeros((B, mc.text_dim), np.float32)
+        for i, item in enumerate(items):
+            labels[i], bbox[i] = _item_layout(item, mc.num_objects,
+                                              mc.label_dim, self._rs)
+            b2 = item.get("bboxes_s2")
+            if b2 is None:
+                bbox2[i] = bbox[i]
+            else:
+                for o, bb in enumerate(list(b2)):
+                    bbox2[i, o] = np.asarray(bb, np.float32)
+            emb = item.get("text_embedding")
+            if emb is None:
+                raise ValueError(f"{self.variant} items need a "
+                                 f"{mc.text_dim}-d text_embedding")
+            text[i] = np.asarray(emb, np.float32)
+        self._n += 1
+        key = jax.random.fold_in(self._rng, self._n)
+        z = jax.random.normal(key, (B, mc.z_dim))
+        imgs = np.asarray(self._gen(
+            self.s1_vars, self.g2_vars, z, jnp.asarray(bbox),
+            jnp.asarray(bbox2), jnp.asarray(labels), jnp.asarray(text),
+            key))
+        return [_png_b64(imgs[i]) for i in range(len(items))]
+
+
 class AttnGanService:
     """Free-text caption -> 256px image (flagship serving path)."""
 
@@ -457,6 +607,8 @@ def make_handler(batcher: MicroBatcher, info: dict, validate=None):
 
 
 def build_service(args, cfg):
+    if args.variant == "coco-stackgan-2":
+        return Stage2Service(cfg, args.max_batch, args.seed)
     if args.variant == "coco-attngan":
         # flags override the YAML, but the YAML's DATA_DIR/IMG_DIR must
         # work on their own (like every other entry point)
@@ -487,7 +639,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--variant", required=True,
                    choices=["multi-mnist", "clevr", "coco-stackgan-1",
-                            "coco-attngan"])
+                            "coco-stackgan-2", "coco-attngan"])
     p.add_argument("--cfg", required=True)
     p.add_argument("--net_g", default="",
                    help="orbax output dir or reference .pth (overrides "
@@ -504,7 +656,8 @@ def main(argv=None):
 
     from multiple_objects_gan_tpu.config.config import cfg_from_file
 
-    cfg_variant = ("coco-stackgan" if args.variant == "coco-stackgan-1"
+    cfg_variant = ("coco-stackgan"
+                   if args.variant in ("coco-stackgan-1", "coco-stackgan-2")
                    else args.variant)
     cfg = cfg_from_file(args.cfg, cfg_variant)
     if args.data_dir:

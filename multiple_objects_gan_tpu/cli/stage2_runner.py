@@ -38,7 +38,8 @@ def run_stage2(args, cfg, output_dir: str, seed: int):
     s2_cfg = dataclasses.replace(
         s2_cfg, gf_dim=int(cfg.GAN.GF_DIM), df_dim=int(cfg.GAN.DF_DIM),
         condition_dim=int(cfg.GAN.CONDITION_DIM),
-        d_cond_dim=int(cfg.GAN.CONDITION_DIM))
+        d_cond_dim=int(cfg.GAN.CONDITION_DIM),
+        text_dim=int(cfg.TEXT.DIMENSION))
     r_num = int(cfg.GAN.R_NUM)
 
     g1 = Stage1G(s1_cfg)

