@@ -103,7 +103,38 @@ def main():
         "mfu": round(mfu, 4),
         "tflops_per_step": round(flops_per_step / 1e12, 4),
         "step_ms": round(best_dt / n_steps * 1000, 3),
+        "variants": bench_variants_extra(),
     }))
+
+
+def bench_variants_extra() -> dict:
+    """Per-variant train-step benches attached to the tracked JSON line so
+    cross-round regressions on the big models are driver-visible (VERDICT
+    r4 weak #5): the primary metric name/meaning is unchanged; these ride
+    as an extra key. Each variant is individually guarded — a wedge or
+    OOM in one leaves `{"error": ...}` for it rather than killing the
+    headline number. Skip entirely with MOG_BENCH_VARIANTS=0."""
+    if os.environ.get("MOG_BENCH_VARIANTS", "1") in ("0", "false"):
+        return {}
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_variants",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_variants.py"))
+    bv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bv)
+    out = {}
+    for name, fn in (("clevr", bv.bench_clevr),
+                     ("coco-stackgan-2", bv.bench_stage2),
+                     ("coco-attngan", bv.bench_attngan)):
+        try:
+            row = fn()
+            row.pop("variant", None)
+            out[name] = row
+        except Exception as e:  # noqa: BLE001 — report, don't kill bench
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
 
 
 def run_guarded(attempts: int = 3, timeout_s: float = 0.0) -> int:
@@ -116,8 +147,12 @@ def run_guarded(attempts: int = 3, timeout_s: float = 0.0) -> int:
     """
     import subprocess
 
+    # the variants table adds up to three cold compiles (1-5 min each on
+    # the tunneled backend) — budget for them unless it's disabled
+    default_to = ("900" if os.environ.get("MOG_BENCH_VARIANTS", "1")
+                  in ("0", "false") else "2700")
     timeout_s = timeout_s or float(os.environ.get("MOG_BENCH_TIMEOUT",
-                                                  "900"))
+                                                  default_to))
     env = dict(os.environ, MOG_BENCH_CHILD="1")
     for attempt in range(1, attempts + 1):
         try:
