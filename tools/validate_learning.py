@@ -228,7 +228,7 @@ def _generate_stage1(cfg_file, cfg_variant, out_dir, seed):
     imgs = np.asarray(sample(state.g_params, state.g_stats, z,
                              jnp.asarray(bbox), jnp.asarray(labels), text),
                       np.float32)
-    return imgs, bbox
+    return imgs, bbox, labels
 
 
 def _generate_stage2(cfg_file, out_dir, seed):
@@ -288,7 +288,7 @@ def _generate_stage2(cfg_file, out_dir, seed):
 
     imgs = np.asarray(gen(s1_vars, g2_vars, z, jnp.asarray(bbox),
                           jnp.asarray(labels), text), np.float32)
-    return imgs, bbox
+    return imgs, bbox, labels
 
 
 def _generate_attngan(cfg_file, data_dir, img_dir, out_dir, seed):
@@ -339,7 +339,7 @@ def _generate_attngan(cfg_file, data_dir, img_dir, out_dir, seed):
                           jnp.asarray(caps), jnp.asarray(lens), z,
                           jnp.asarray(bbox), jnp.asarray(labels)),
                       np.float32)
-    return imgs, bbox
+    return imgs, bbox, labels
 
 
 def _write_attngan_validate_cfg(work: str) -> str:
@@ -614,7 +614,7 @@ def main(argv=None):
     # must IMPROVE with training, not just place blobs in boxes. Real
     # side: the synthetic training images; fake side: fresh fixed
     # z/layouts at every point, so only G's params move the number. ----
-    imgs0, _ = generate(os.path.join(work, "never_trained"))
+    imgs0, _, _ = generate(os.path.join(work, "never_trained"))
     real = _load_real_images(
         _glob_images(data_dir, os.path.join(work, "imgs")),
         size=imgs0.shape[1], limit=args.fid_images)
@@ -628,14 +628,14 @@ def main(argv=None):
     seg_epochs = sorted({max(1, args.epochs * k // args.segments)
                          for k in range(1, args.segments + 1)})
     prev = None
-    imgs = bbox = None
+    imgs = bbox = labels = None
     seg_dirs = []
     sep_points = []
     for e in seg_epochs:
         seg_out = os.path.join(work, f"out_e{e}")
         run_cli(seg_out, e, resume_from=prev)
         seg_dirs.append(seg_out)
-        imgs, bbox = generate(seg_out)
+        imgs, bbox, labels = generate(seg_out)
         fid_points.append((e, _fid(real, imgs)))
         sb, so = _separation(imgs, bbox)
         sep_points.append((e, round(sb - so, 3)))
@@ -702,6 +702,13 @@ def main(argv=None):
         out["damsm_word_sent"] = _damsm_word_stats(seg_dirs)
     if sampling_metrics:
         out["sampling_eval"] = sampling_metrics
+    if args.variant == "mnist":
+        # digit identity + placement scores on the final generation —
+        # the paper's YOLOv3-style check (utils/layout_fidelity.py);
+        # recall ~0.1 = labels ignored, loc_iou ~0 = boxes ignored
+        from multiple_objects_gan_tpu.utils.layout_fidelity import (
+            layout_fidelity)
+        out["layout_fidelity"] = layout_fidelity(imgs, bbox, labels)
     print(json.dumps(out))
 
 
