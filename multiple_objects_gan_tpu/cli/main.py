@@ -129,9 +129,38 @@ def record_run_flags(output_dir: str, resume: str | None, **flags) -> str:
         resume and os.path.isfile(path) and os.path.isdir(resume)
         and os.path.samefile(resume, output_dir))
     if not in_place_resume:
+        # provenance: the exact code state of the run (ADVICE r4 — the
+        # src_snapshot copy can't say WHICH commit it matches; the SHA
+        # can, and committed run artifacts then don't need the copy)
+        sha = _git_sha()
+        if sha:
+            flags = dict(flags, git_sha=sha)
         with open(path, "w") as f:
             json.dump(flags, f)
     return path
+
+
+def _git_sha() -> str:
+    """HEAD sha of the repo containing this package ('' if not a git
+    checkout / git unavailable); '-dirty' appended when the tree has
+    uncommitted changes, so run_flags provenance can't silently claim a
+    clean commit it didn't run."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"], capture_output=True,
+            text=True, timeout=10, check=True).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain",
+             "--untracked-files=no", "--", ".",
+             ":(exclude)PROGRESS.jsonl"],  # driver-owned, always touched
+            capture_output=True, text=True,
+            timeout=10, check=True).stdout.strip()
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return ""
 
 
 def main(argv=None):

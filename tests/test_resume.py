@@ -131,3 +131,28 @@ def test_record_run_flags_in_place_resume(tmp_path):
         warnings.simplefilter("error")
         record_run_flags(str(out), str(out), bn_groups=2, bf16=True,
                          variant="multi-mnist", manualSeed=7)
+
+
+def test_record_run_flags_git_sha(tmp_path):
+    """run_flags.json carries the HEAD sha of the code that ran (ADVICE
+    r4): committed run artifacts reference the exact commit instead of a
+    full src_snapshot copy. In this checkout the sha must be present and
+    40-hex (optionally '-dirty'); outside a git tree _git_sha returns ''
+    and the key is simply absent."""
+    import json
+    import re
+
+    from multiple_objects_gan_tpu.cli.main import _git_sha, record_run_flags
+
+    out = tmp_path / "run"
+    out.mkdir()
+    path = record_run_flags(str(out), None, bn_groups=None, bf16=True,
+                            variant="multi-mnist", manualSeed=7)
+    with open(path) as f:
+        flags = json.load(f)
+    sha = _git_sha()
+    if sha:  # running from the git checkout (the normal case)
+        assert flags["git_sha"] == sha
+        assert re.fullmatch(r"[0-9a-f]{40}(-dirty)?", sha)
+    else:
+        assert "git_sha" not in flags
