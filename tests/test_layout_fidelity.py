@@ -73,3 +73,73 @@ def test_padding_rows_ignored(clf):
     bbox[:, 2] = -1.0  # third object padded out (w <= 0)
     out = layout_fidelity(imgs, bbox, labels, clf=clf)
     assert out["n_objects"] == 8 * 2
+
+
+# ---- clevr analog (shape 3-way + color 8-way over RGB crops) ----
+
+from multiple_objects_gan_tpu.utils.layout_fidelity import (  # noqa: E402
+    ClevrClassifier,
+    _render_clevr_batch,
+    clevr_layout_fidelity,
+    train_clevr_classifier,
+)
+
+
+@pytest.fixture(scope="module")
+def cclf() -> ClevrClassifier:
+    return train_clevr_classifier(seed=0, steps=400)
+
+
+def _clevr_scene_batch(n=48, seed=3, objects=3):
+    """Multi-object clevr scenes composited from the single-object
+    renderer (overwrite-blend like the writer), labels in the 13-dim
+    dataset encoding (shape [0:3] + color [4:12])."""
+    rs = np.random.RandomState(seed)
+    imgs = np.full((n, 64, 64, 3), -1.0, np.float32)
+    bbox = np.zeros((n, objects, 4), np.float32)
+    labels = np.zeros((n, objects, 13), np.float32)
+    for j in range(objects):
+        im_j, bb_j, ys, yc = _render_clevr_batch(rs, n)
+        mask = (im_j > -1.0).any(-1, keepdims=True)
+        imgs = np.where(mask, im_j, imgs)
+        bbox[:, j] = bb_j[:, 0]
+        labels[np.arange(n), j, ys] = 1.0
+        labels[np.arange(n), j, 4 + yc] = 1.0
+    return imgs, bbox, labels
+
+
+def test_clevr_recall_high_on_clean_renders(cclf):
+    imgs, bbox, labels = _clevr_scene_batch()
+    out = clevr_layout_fidelity(imgs, bbox, labels, clf=cclf)
+    assert out["n_objects"] == 48 * 3
+    # later objects overdraw earlier ones; clean scenes still score high
+    assert out["recall_color"] > 0.8, out
+    assert out["recall_shape"] > 0.7, out
+    assert out["recall_both"] > 0.6, out
+    assert out["loc_iou"] > 0.4, out
+
+
+def test_clevr_recall_collapses_on_shuffled_labels(cclf):
+    imgs, bbox, labels = _clevr_scene_batch(seed=11)
+    rs = np.random.RandomState(0)
+    shifted = np.zeros_like(labels)
+    ys = labels[..., 0:3].argmax(-1)
+    yc = labels[..., 4:12].argmax(-1)
+    b, o = ys.shape
+    ys = (ys + rs.randint(1, 3, ys.shape)) % 3
+    yc = (yc + rs.randint(1, 8, yc.shape)) % 8
+    for i in range(b):
+        for j in range(o):
+            shifted[i, j, ys[i, j]] = 1.0
+            shifted[i, j, 4 + yc[i, j]] = 1.0
+    out = clevr_layout_fidelity(imgs, bbox, shifted, clf=cclf)
+    assert out["recall_both"] < 0.25, out   # ~chance
+    assert out["loc_iou"] > 0.4, out        # placement still correct
+
+
+def test_clevr_padding_and_unlabeled_rows_ignored(cclf):
+    imgs, bbox, labels = _clevr_scene_batch(n=8, seed=5)
+    bbox[:, 1] = -1.0          # padded box (w <= 0)
+    labels[:, 2, 0:3] = 0.0    # no shape hot -> not a scored object
+    out = clevr_layout_fidelity(imgs, bbox, labels, clf=cclf)
+    assert out["n_objects"] == 8

@@ -173,10 +173,14 @@ def fid_decreasing(fids) -> bool:
 
 
 def _random_layouts(b: int, o: int, label_dim: int, seed: int,
-                    n_classes: int = 0):
+                    n_classes: int = 0, clevr: bool = False):
     """n_classes: how many leading label slots are REAL classes — mnist
     has no pad class (all 10 digits train), clevr/coco reserve the last
-    slot for pads, so the default is label_dim - 1."""
+    slot for pads, so the default is label_dim - 1. clevr=True draws
+    TWO-hot labels in the dataset encoding (shape one-hot in [0:3] +
+    color one-hot in [4:12], data/datasets.py:163-169) — the
+    distribution the generator actually trained on; a single random hot
+    slot is off-distribution there (and can even hit the pad slot)."""
     n_classes = n_classes or label_dim - 1
     rs = np.random.RandomState(seed)
     bbox = np.full((b, o, 4), -1.0, np.float32)
@@ -186,7 +190,11 @@ def _random_layouts(b: int, o: int, label_dim: int, seed: int,
         for j in range(n_obj):
             w, h = rs.uniform(0.25, 0.4, 2)
             bbox[i, j] = [rs.uniform(0, 1 - w), rs.uniform(0, 1 - h), w, h]
-            labels[i, j, rs.randint(0, n_classes)] = 1.0
+            if clevr:
+                labels[i, j, rs.randint(0, 3)] = 1.0
+                labels[i, j, 4 + rs.randint(0, 8)] = 1.0
+            else:
+                labels[i, j, rs.randint(0, n_classes)] = 1.0
     return bbox, labels, rs
 
 
@@ -217,7 +225,8 @@ def _generate_stage1(cfg_file, cfg_variant, out_dir, seed):
     b = 32
     bbox, labels, rs = _random_layouts(
         b, mcfg.num_objects, mcfg.label_dim, seed + 1,
-        n_classes=mcfg.label_dim if cfg_variant == "multi-mnist" else 0)
+        n_classes=mcfg.label_dim if cfg_variant == "multi-mnist" else 0,
+        clevr=(cfg_variant == "clevr"))
     text = (jnp.asarray(rs.randn(b, mcfg.text_dim).astype(np.float32))
             if mcfg.use_ca else None)
     z = jax.random.normal(rng, (b, mcfg.z_dim))
@@ -632,9 +641,9 @@ def main(argv=None):
     seg_dirs = []
     sep_points = []
     lf_points = []
-    lf_clf = None
+    lf_clf = lf_score = None
     if args.variant == "mnist":
-        # digit identity + placement scores per SEGMENT (the paper's
+        # object identity + placement scores per SEGMENT (the paper's
         # YOLOv3-style check, utils/layout_fidelity.py): unlike the
         # trend FID — which floors by the first quartile on the easy
         # synthetic set — recall/IoU stay unsaturated, so the back half
@@ -643,6 +652,14 @@ def main(argv=None):
         from multiple_objects_gan_tpu.utils.layout_fidelity import (
             layout_fidelity, train_digit_classifier)
         lf_clf = train_digit_classifier()
+        lf_score = layout_fidelity
+    elif args.variant == "clevr":
+        # clevr analog: shape (3-way) + color (8-way) recall over the
+        # same STN crops; "recall" below = recall_both
+        from multiple_objects_gan_tpu.utils.layout_fidelity import (
+            clevr_layout_fidelity, train_clevr_classifier)
+        lf_clf = train_clevr_classifier()
+        lf_score = clevr_layout_fidelity
     for e in seg_epochs:
         seg_out = os.path.join(work, f"out_e{e}")
         run_cli(seg_out, e, resume_from=prev)
@@ -653,9 +670,10 @@ def main(argv=None):
         sep_points.append((e, round(sb - so, 3)))
         lf_msg = ""
         if lf_clf is not None:
-            lf = layout_fidelity(imgs, bbox, labels, clf=lf_clf)
-            lf_points.append((e, lf["recall"], lf["loc_iou"]))
-            lf_msg = (f"  recall: {lf['recall']:.3f}"
+            lf = lf_score(imgs, bbox, labels, clf=lf_clf)
+            recall = lf.get("recall", lf.get("recall_both"))
+            lf_points.append((e, recall, lf["loc_iou"]))
+            lf_msg = (f"  recall: {recall:.3f}"
                       f"  loc_iou: {lf['loc_iou']:.3f}")
         print(f"FID @ epoch {e}: {fid_points[-1][1]:.2f}  "
               f"separation: {sep_points[-1][1]:.3f}{lf_msg}", flush=True)
@@ -720,15 +738,12 @@ def main(argv=None):
         out["damsm_word_sent"] = _damsm_word_stats(seg_dirs)
     if sampling_metrics:
         out["sampling_eval"] = sampling_metrics
-    if args.variant == "mnist":
-        # digit identity + placement scores — the paper's YOLOv3-style
-        # check (utils/layout_fidelity.py); recall ~0.1 = labels
+    if lf_clf is not None:
+        # object identity + placement scores — the paper's YOLOv3-style
+        # check (utils/layout_fidelity.py); recall ~chance = labels
         # ignored, loc_iou ~0 = boxes ignored. Full dict for the final
         # generation + the per-segment (epoch, recall, loc_iou) trend.
-        from multiple_objects_gan_tpu.utils.layout_fidelity import (
-            layout_fidelity)
-        out["layout_fidelity"] = layout_fidelity(imgs, bbox, labels,
-                                                 clf=lf_clf)
+        out["layout_fidelity"] = lf_score(imgs, bbox, labels, clf=lf_clf)
         out["layout_fidelity_trend"] = [
             [e, r, i] for e, r, i in lf_points]
     print(json.dumps(out))
