@@ -18,7 +18,10 @@ coco-stackgan-2 (256px, random frozen stage-1) see ROADMAP; anything
 above ~0.3 means the object pathway is learning placement, ~0 means it
 is not (or the measurement is reducing in bf16 — see CLAUDE.md).
 
-coco-attngan trains with a patched cfg (SMOOTH.LAMBDA=0, no NET_E):
+coco-attngan by DEFAULT trains with a patched cfg (SMOOTH.LAMBDA=0, no
+NET_E) — pass --damsm_epochs N to run the FULL flagship chain instead
+(DAMSM pretrain -> exported NET_E -> LAMBDA=50 training; the
+runs_r5/attngan_flagship artifact). Default-mode rationale:
 pretrained DAMSM encoders are unavailable offline and the w/s_loss x 50
 on random encoders diverges by design (ROADMAP perf notes), so the
 adversarial + KL losses alone must learn placement; generation restores
