@@ -199,3 +199,28 @@ def test_export_frozen_s1_roundtrip(tmp_path):
         for (k, g), (_, w) in zip(got_l, want_l):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
                                           err_msg=str(k))
+
+
+def test_random_layouts_clevr_two_hot():
+    """clevr eval layouts must match the TRAINING label distribution
+    (data/datasets.py:163-169): exactly one shape hot in [0:3] AND one
+    color hot in [4:12], slot 3 and the pad slot 12 never set — the old
+    single-random-hot labels were off-distribution (could even condition
+    an object on the pad class)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from validate_learning import _random_layouts
+
+    bbox, labels, _ = _random_layouts(32, 4, 13, seed=3, clevr=True)
+    valid = bbox[..., 2] > 0
+    assert valid.any()
+    shape = labels[..., 0:3]
+    color = labels[..., 4:12]
+    np.testing.assert_array_equal(shape.sum(-1)[valid], 1.0)
+    np.testing.assert_array_equal(color.sum(-1)[valid], 1.0)
+    assert labels[..., 3].sum() == 0 and labels[..., 12].sum() == 0
+    assert labels[~valid].sum() == 0
+    # mnist mode unchanged: single hot among the first n_classes
+    _, lab_m, _ = _random_layouts(8, 3, 10, seed=3, n_classes=10)
+    assert set(np.unique(lab_m.sum(-1))) <= {0.0, 1.0}
